@@ -1,0 +1,226 @@
+"""Relation classifiers (flat and hierarchical/Bayesian) in Flax.
+
+Functionally equivalent to the reference's FlatRelationClassifier /
+BayesianRelationClassifier (reference model.py:37-186), but restructured for
+the TPU pair grid:
+
+  * **Factored object streams.**  In the reference, each directed pair runs
+    `tanh(conv1_1(h_sub)) , tanh(conv1_2(h_obj))` followed by a 3x3 conv on
+    their channel concat (reference model.py:138-146).  Both 1x1 convs are
+    per-object, and the first 3x3 conv is *linear* before its ReLU, so
+    `conv2(concat(u, v)) = conv2a(u) + conv2b(v) + bias`.  We therefore
+    compute per-object tensors a_i = conv2a(tanh(conv1_sub(x_i))) and
+    b_j = conv2b(tanh(conv1_obj(x_j))) once per object (O(N) work) and start
+    per-pair compute at `relu(a_sub + b_obj)` (O(N^2) work) — a numerically
+    exact refactoring.
+  * **MaxPool/ReLU commute.** `maxpool(relu(x)) == relu(maxpool(x))` for the
+    monotone ReLU, letting the pair stage pool the sum before the activation
+    so less data flows into the 3x3 conv stage.
+  * **One-hot concat as embedding sum.**  fc2 @ concat(h, onehot(c1),
+    onehot(c2), s1, s2) decomposes into a dense on h plus two embedding
+    lookups plus two small multi-hot matmuls (exact, reference
+    model.py:152-168).
+  * NHWC layout (channels on the TPU lane dimension), bf16-friendly.
+
+Tensor contract:
+  object features  x: (num_objects, S, S, 2*hidden+1)  [masked feat ++ depth]
+  streams a, b:       (num_objects, S, S, 4*hidden)
+  pair hidden:        (num_pairs, 512)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class BayesianHead(nn.Module):
+    """Standalone hierarchical prediction head (plug-and-play variant,
+    reference model.py:9-34): three per-super-category predicate branches
+    composed with the super-category log-probability by Bayes' rule."""
+    num_geometric: int = 15
+    num_possessive: int = 11
+    num_semantic: int = 24
+    T1: float = 1.0
+    T2: float = 1.0
+    T3: float = 1.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray):
+        sup = nn.log_softmax(
+            nn.Dense(3, dtype=self.dtype, name="fc5")(h).astype(jnp.float32))
+        branches = []
+        for i, (n, t) in enumerate([(self.num_geometric, self.T1),
+                                    (self.num_possessive, self.T2),
+                                    (self.num_semantic, self.T3)]):
+            logits = nn.Dense(n, dtype=self.dtype, name=f"fc3_{i + 1}")(h)
+            # log p(rel, super) = log p(rel | super) + log p(super)
+            # (reference model.py:27-33)
+            branches.append(
+                nn.log_softmax(logits.astype(jnp.float32) / t)
+                + sup[:, i:i + 1])
+        return branches[0], branches[1], branches[2], sup
+
+
+class RelationClassifier(nn.Module):
+    """Pair-grid relation classifier with flat or hierarchical output.
+
+    Equivalent math to reference model.py:37-102 (flat) / 105-186
+    (hierarchical); see module docstring for the TPU-oriented factoring.
+    """
+    hidden_dim: int = 128
+    feature_size: int = 32
+    num_classes: int = 150
+    num_super_classes: int = 17
+    num_relations: int = 50
+    num_geometric: int = 15
+    num_possessive: int = 11
+    num_semantic: int = 24
+    hierarchical: bool = True
+    use_super: bool = True          # VG concatenates super-class multi-hots
+    dropout_rate: float = 0.5
+    T1: float = 1.0
+    T2: float = 1.0
+    T3: float = 1.0
+    dtype: Any = jnp.float32        # compute dtype (params stay float32)
+
+    def setup(self):
+        h = self.hidden_dim
+        conv = lambda f, k, name, bias=True: nn.Conv(  # noqa: E731
+            f, (k, k), padding="SAME" if k == 3 else "VALID",
+            use_bias=bias, dtype=self.dtype, name=name)
+        self.conv1_sub = conv(h, 1, "conv1_sub")
+        self.conv1_obj = conv(h, 1, "conv1_obj")
+        # conv2 split halves: the subject half carries no bias so that
+        # a + b == conv2(concat(u, v)) exactly.
+        self.conv2_sub = conv(4 * h, 3, "conv2_sub", bias=False)
+        self.conv2_obj = conv(4 * h, 3, "conv2_obj", bias=True)
+        self.conv3 = conv(8 * h, 3, "conv3")
+        self.fc1 = nn.Dense(4096, dtype=self.dtype, name="fc1")
+        self.fc2_h = nn.Dense(512, dtype=self.dtype, name="fc2_h")
+        self.emb_c1 = nn.Embed(self.num_classes, 512, dtype=self.dtype,
+                               name="emb_c1")
+        self.emb_c2 = nn.Embed(self.num_classes, 512, dtype=self.dtype,
+                               name="emb_c2")
+        if self.use_super:
+            self.fc2_s1 = nn.Dense(512, use_bias=False, dtype=self.dtype,
+                                   name="fc2_s1")
+            self.fc2_s2 = nn.Dense(512, use_bias=False, dtype=self.dtype,
+                                   name="fc2_s2")
+        self.fc4 = nn.Dense(1, dtype=self.dtype, name="fc4")
+        if self.hierarchical:
+            self.fc3_1 = nn.Dense(self.num_geometric, dtype=self.dtype,
+                                  name="fc3_1")
+            self.fc3_2 = nn.Dense(self.num_possessive, dtype=self.dtype,
+                                  name="fc3_2")
+            self.fc3_3 = nn.Dense(self.num_semantic, dtype=self.dtype,
+                                  name="fc3_3")
+            self.fc5 = nn.Dense(3, dtype=self.dtype, name="fc5")
+        else:
+            self.fc3 = nn.Dense(self.num_relations, dtype=self.dtype,
+                                name="fc3")
+        self.dropout1 = nn.Dropout(self.dropout_rate)
+        self.dropout2 = nn.Dropout(self.dropout_rate)
+
+    # ---------------- per-object stage ----------------
+
+    def object_streams(self, x: jnp.ndarray):
+        """x: (M, S, S, 2*hidden+1) masked feature+depth stack per object.
+        Returns subject/object streams a, b: (M, S, S, 4*hidden)."""
+        x = x.astype(self.dtype)
+        u = jnp.tanh(self.conv1_sub(x))
+        v = jnp.tanh(self.conv1_obj(x))
+        return self.conv2_sub(u), self.conv2_obj(v)
+
+    # ---------------- per-pair stage ----------------
+
+    def pair_trunk(self, a_sub: jnp.ndarray, b_obj: jnp.ndarray,
+                   deterministic: bool = True):
+        """(P, S, S, 4h) gathered streams -> (P, 4096) pair hidden."""
+        s = a_sub + b_obj
+        # relu and 2x2 maxpool commute; pool first to shrink the conv3 input.
+        s = nn.max_pool(s, (2, 2), strides=(2, 2))
+        s = nn.relu(s)
+        s = nn.relu(self.conv3(s))
+        s = nn.max_pool(s, (2, 2), strides=(2, 2))
+        s = s.reshape(s.shape[0], -1)
+        s = nn.relu(self.fc1(s))
+        return self.dropout1(s, deterministic=deterministic)
+
+    def pair_head(self, h: jnp.ndarray, c1: jnp.ndarray, c2: jnp.ndarray,
+                  s1: Optional[jnp.ndarray], s2: Optional[jnp.ndarray],
+                  deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        """Label-conditioned head.  h: (P, 4096); c1/c2: (P,) int subject /
+        object classes; s1/s2: (P, num_super_classes) multi-hot or None."""
+        z = self.fc2_h(h) + self.emb_c1(c1) + self.emb_c2(c2)
+        if self.use_super and s1 is not None:
+            z = z + self.fc2_s1(s1.astype(self.dtype)) \
+                  + self.fc2_s2(s2.astype(self.dtype))
+        pred = nn.relu(z)
+        pred = self.dropout2(pred, deterministic=deterministic)
+
+        out = {"hidden": pred,
+               "connectivity": self.fc4(pred)[:, 0].astype(jnp.float32)}
+        if self.hierarchical:
+            sup = nn.log_softmax(self.fc5(pred).astype(jnp.float32))
+            rel1 = nn.log_softmax(
+                self.fc3_1(pred).astype(jnp.float32) / self.T1) + sup[:, 0:1]
+            rel2 = nn.log_softmax(
+                self.fc3_2(pred).astype(jnp.float32) / self.T2) + sup[:, 1:2]
+            rel3 = nn.log_softmax(
+                self.fc3_3(pred).astype(jnp.float32) / self.T3) + sup[:, 2:3]
+            out["relation"] = jnp.concatenate([rel1, rel2, rel3], axis=1)
+            out["super_relation"] = sup
+        else:
+            out["relation"] = self.fc3(pred).astype(jnp.float32)
+            out["super_relation"] = None
+        return out
+
+    # ---------------- reference-shaped entry point ----------------
+
+    def __call__(self, x_sub: jnp.ndarray, x_obj: jnp.ndarray,
+                 c1: jnp.ndarray, c2: jnp.ndarray,
+                 s1: Optional[jnp.ndarray] = None,
+                 s2: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> Dict[str, jnp.ndarray]:
+        """Direct per-pair forward mirroring the reference signature
+        `forward(h_sub, h_obj, c1, c2, s1, s2)` (reference model.py:170-186).
+        x_sub/x_obj: (P, S, S, 2*hidden+1) masked subject/object stacks.
+        Used for API parity and as the oracle for the factored path."""
+        a, _ = self.object_streams(x_sub)
+        _, b = self.object_streams(x_obj)
+        h = self.pair_trunk(a, b, deterministic=deterministic)
+        return self.pair_head(h, c1, c2, s1, s2, deterministic=deterministic)
+
+
+def make_relation_classifier(cfg) -> RelationClassifier:
+    """Builds the classifier from a Config (dataset decides use_super,
+    reference model.py:125-128)."""
+    m = cfg.model
+    return RelationClassifier(
+        hidden_dim=m.hidden_dim, feature_size=m.feature_size,
+        num_classes=m.num_classes, num_super_classes=m.num_super_classes,
+        num_relations=m.num_relations, num_geometric=m.num_geometric,
+        num_possessive=m.num_possessive, num_semantic=m.num_semantic,
+        hierarchical=m.hierarchical_pred,
+        use_super=(cfg.data.dataset == "vg"),
+        dropout_rate=m.dropout_rate, T1=m.T1, T2=m.T2, T3=m.T3,
+        dtype=jnp.dtype(m.compute_dtype))
+
+
+def assemble_object_stack(features: jnp.ndarray, depth: jnp.ndarray,
+                          masks: jnp.ndarray) -> jnp.ndarray:
+    """Builds the per-object masked input stack.
+
+    features: (B, S, S, C) frozen detector features; depth: (B, S, S, 1)
+    estimated depth; masks: (B, N, S, S) object occupancy.  Returns
+    (B, N, S, S, C + 1) = [features * mask ++ depth * mask] per object
+    (reference train_test.py:195-204).
+    """
+    m = masks[..., None].astype(features.dtype)
+    feat = features[:, None] * m
+    dep = depth[:, None].astype(features.dtype) * m
+    return jnp.concatenate([feat, dep], axis=-1)
