@@ -36,6 +36,12 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+def _at_least_f32(x):
+    """Upcasts low-precision compute dtypes (bf16) to f32 for softmax/heads
+    without downcasting f64 parity runs."""
+    return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+
+
 class BayesianHead(nn.Module):
     """Standalone hierarchical prediction head (plug-and-play variant,
     reference model.py:9-34): three per-super-category predicate branches
@@ -51,7 +57,7 @@ class BayesianHead(nn.Module):
     @nn.compact
     def __call__(self, h: jnp.ndarray):
         sup = nn.log_softmax(
-            nn.Dense(3, dtype=self.dtype, name="fc5")(h).astype(jnp.float32))
+            _at_least_f32(nn.Dense(3, dtype=self.dtype, name="fc5")(h)))
         branches = []
         for i, (n, t) in enumerate([(self.num_geometric, self.T1),
                                     (self.num_possessive, self.T2),
@@ -60,7 +66,7 @@ class BayesianHead(nn.Module):
             # log p(rel, super) = log p(rel | super) + log p(super)
             # (reference model.py:27-33)
             branches.append(
-                nn.log_softmax(logits.astype(jnp.float32) / t)
+                nn.log_softmax(_at_least_f32(logits) / t)
                 + sup[:, i:i + 1])
         return branches[0], branches[1], branches[2], sup
 
@@ -163,19 +169,19 @@ class RelationClassifier(nn.Module):
         pred = self.dropout2(pred, deterministic=deterministic)
 
         out = {"hidden": pred,
-               "connectivity": self.fc4(pred)[:, 0].astype(jnp.float32)}
+               "connectivity": _at_least_f32(self.fc4(pred)[:, 0])}
         if self.hierarchical:
-            sup = nn.log_softmax(self.fc5(pred).astype(jnp.float32))
+            sup = nn.log_softmax(_at_least_f32(self.fc5(pred)))
             rel1 = nn.log_softmax(
-                self.fc3_1(pred).astype(jnp.float32) / self.T1) + sup[:, 0:1]
+                _at_least_f32(self.fc3_1(pred)) / self.T1) + sup[:, 0:1]
             rel2 = nn.log_softmax(
-                self.fc3_2(pred).astype(jnp.float32) / self.T2) + sup[:, 1:2]
+                _at_least_f32(self.fc3_2(pred)) / self.T2) + sup[:, 1:2]
             rel3 = nn.log_softmax(
-                self.fc3_3(pred).astype(jnp.float32) / self.T3) + sup[:, 2:3]
+                _at_least_f32(self.fc3_3(pred)) / self.T3) + sup[:, 2:3]
             out["relation"] = jnp.concatenate([rel1, rel2, rel3], axis=1)
             out["super_relation"] = sup
         else:
-            out["relation"] = self.fc3(pred).astype(jnp.float32)
+            out["relation"] = _at_least_f32(self.fc3(pred))
             out["super_relation"] = None
         return out
 
