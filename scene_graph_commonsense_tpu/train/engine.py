@@ -1,0 +1,283 @@
+"""Training and evaluation steps over the packed pair grid.
+
+One jitted program per batch replaces the reference's per-pair Python loop
+(reference train_test.py:136-330).  The local step is a pure function over a
+batch shard; data parallelism wraps it in `shard_map` over the 'data' mesh
+axis with `pmean`-reduced gradients — the XLA-collective analogue of the
+reference's DDP/gloo all-reduce (reference train_test.py:25-28, 276).  Like
+DDP, each shard computes masked-mean losses over its own pairs and gradients
+are averaged across shards.
+
+Batch pytree (all fixed shapes; B images, N = max_objects, S = feature_size):
+  features:     (B, S, S, C)   frozen detector features
+  features_aug: (B, S, S, C)   augmented view (training only; may be absent)
+  depth:        (B, S, S, 1)   estimated depth map
+  cats:         (B, N) int32   object classes (padding slots hold 0)
+  super_mh:     (B, N, K) f32  super-class multi-hots
+  boxes:        (B, N, 4) f32  (x_min, x_max, y_min, y_max) on the grid
+  rel:          (B, N, N) int32 directed GT relations (-1 = none)
+  valid:        (B, N) bool
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from scene_graph_commonsense_tpu.models.relation_head import (
+    RelationClassifier, assemble_object_stack)
+from scene_graph_commonsense_tpu.ops import boxes as box_ops
+from scene_graph_commonsense_tpu.ops import pairs as pair_ops
+from scene_graph_commonsense_tpu.train import losses as L
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(learning_rate, momentum: float = 0.9,
+                   weight_decay: float = 1e-4):
+    """SGD + momentum with coupled weight decay, matching torch.optim.SGD
+    semantics (reference train_test.py:100-101): grad += wd * param before
+    the momentum buffer update."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.sgd(learning_rate, momentum=momentum))
+
+
+def _gather_streams(stream: jnp.ndarray, flat_idx: jnp.ndarray):
+    return stream[flat_idx]
+
+
+def _chunked_pair_trunk(model: RelationClassifier, params, a, b, packed,
+                        chunk_size: int, deterministic: bool,
+                        dropout_rng=None):
+    """Runs the heavy pair trunk in chunks via lax.map so the (P, S, S, 4h)
+    gathered tensors never materialize at full pair capacity (HBM guard:
+    remat + scan trades a little recompute for a flat memory profile)."""
+    p_cap = packed.flat_sub.shape[0]
+    if chunk_size <= 0 or chunk_size >= p_cap or p_cap % chunk_size != 0:
+        a_s = _gather_streams(a, packed.flat_sub)
+        b_o = _gather_streams(b, packed.flat_obj)
+        return model.apply(
+            params, a_s, b_o, deterministic,
+            method=RelationClassifier.pair_trunk,
+            rngs={"dropout": dropout_rng} if dropout_rng is not None else None)
+
+    n_chunks = p_cap // chunk_size
+    subs = packed.flat_sub.reshape(n_chunks, chunk_size)
+    objs = packed.flat_obj.reshape(n_chunks, chunk_size)
+
+    if dropout_rng is None:
+        @jax.checkpoint
+        def one_chunk(args):
+            sub_idx, obj_idx = args
+            return model.apply(
+                params, _gather_streams(a, sub_idx),
+                _gather_streams(b, obj_idx), deterministic,
+                method=RelationClassifier.pair_trunk)
+
+        h = jax.lax.map(one_chunk, (subs, objs))
+    else:
+        rngs = jax.random.split(dropout_rng, n_chunks)
+
+        @jax.checkpoint
+        def one_chunk(args):
+            sub_idx, obj_idx, rng = args
+            return model.apply(
+                params, _gather_streams(a, sub_idx),
+                _gather_streams(b, obj_idx), deterministic,
+                method=RelationClassifier.pair_trunk,
+                rngs={"dropout": rng})
+
+        h = jax.lax.map(one_chunk, (subs, objs, rngs))
+    return h.reshape(p_cap, -1)
+
+
+def forward_pairs(model: RelationClassifier, params, batch: Dict[str, Any],
+                  capacity: int, *, view: str = "features",
+                  deterministic: bool = True, dropout_rng=None,
+                  chunk_size: int = 0
+                  ) -> Tuple[Dict[str, jnp.ndarray], pair_ops.PackedPairs]:
+    """Full pair-grid forward for one batch view: masks -> object streams ->
+    packed pair gather -> trunk -> label-conditioned head."""
+    b, n = batch["cats"].shape
+    s = batch["features"].shape[1]
+    masks = box_ops.boxes_to_masks(batch["boxes"], s,
+                                   batch["features"].dtype)
+    masks = masks * batch["valid"][:, :, None, None].astype(masks.dtype)
+    x = assemble_object_stack(batch[view], batch["depth"], masks)
+    x = x.reshape((b * n,) + x.shape[2:])
+    if dropout_rng is not None:
+        rng_s, rng_t, rng_h = jax.random.split(dropout_rng, 3)
+    else:
+        rng_s = rng_t = rng_h = None
+    a, bb = model.apply(params, x, method=RelationClassifier.object_streams)
+
+    packed = pair_ops.pack_pairs(pair_ops.pair_validity(batch["valid"]),
+                                 capacity)
+    h = _chunked_pair_trunk(model, params, a, bb, packed, chunk_size,
+                            deterministic, rng_t)
+    flat_cats = batch["cats"].reshape(b * n)
+    flat_super = batch["super_mh"].reshape(b * n, -1) \
+        if batch.get("super_mh") is not None else None
+    c1 = flat_cats[packed.flat_sub]
+    c2 = flat_cats[packed.flat_obj]
+    s1 = flat_super[packed.flat_sub] if flat_super is not None else None
+    s2 = flat_super[packed.flat_obj] if flat_super is not None else None
+    out = model.apply(
+        params, h, c1, c2, s1, s2, deterministic,
+        method=RelationClassifier.pair_head,
+        rngs={"dropout": rng_h} if rng_h is not None else None)
+    out["sub_cat"] = c1
+    out["obj_cat"] = c2
+    return out, packed
+
+
+def pair_targets(batch: Dict[str, Any], packed: pair_ops.PackedPairs):
+    """(P,) GT relation per packed directed pair; -1 where unrelated."""
+    b, n = batch["cats"].shape
+    rel_flat = batch["rel"].reshape(b, n * n)
+    rel = rel_flat[packed.img, packed.sub * n + packed.obj]
+    return jnp.where(packed.mask, rel, -1)
+
+
+def compute_losses(model_cfg, train_cfg, out, out_aug, packed, targets,
+                   class_weights, cs_tables=None):
+    """All loss terms + scalar metrics for one batch shard."""
+    m = model_cfg
+    valid = packed.mask
+    connected = (targets >= 0) & valid
+
+    loss_rel = L.relation_loss(
+        out["relation"], out["super_relation"], targets, connected,
+        class_weights, m.num_geometric, m.num_possessive,
+        m.hierarchical_pred)
+    conn = L.connectivity_loss(out["connectivity"], connected, valid,
+                               train_cfg.lambda_not_connected)
+    loss_cs = jnp.float32(0.0)
+    if cs_tables is not None:
+        loss_cs = L.commonsense_loss(
+            out["relation"], out["sub_cat"], out["obj_cat"], valid,
+            cs_tables[0], cs_tables[1], m.num_geometric, m.num_possessive,
+            m.num_classes, train_cfg.lambda_cs_weak,
+            train_cfg.lambda_cs_strong, m.hierarchical_pred)
+    loss_contrast = jnp.float32(0.0)
+    if out_aug is not None:
+        feats = jnp.stack([out["hidden"], out_aug["hidden"]], axis=1)
+        loss_contrast = L.supcon_hierar_loss(
+            feats.astype(jnp.float32), jnp.maximum(targets, 0), connected,
+            m.num_geometric, m.num_possessive)
+
+    total = loss_rel \
+        + train_cfg.lambda_connectivity * conn.loss \
+        + train_cfg.lambda_commonsense * loss_cs \
+        + train_cfg.lambda_contrast * loss_contrast
+    metrics = {
+        "loss": total, "loss_relationship": loss_rel,
+        "loss_connectivity": conn.loss, "loss_commonsense": loss_cs,
+        "loss_contrast": loss_contrast,
+        "num_connected": conn.num_connected,
+        "num_not_connected": conn.num_not_connected,
+        "num_connected_pred": conn.num_connected_pred,
+        "connectivity_precision_hits": conn.precision_hits,
+        "connectivity_recall_hits": conn.recall_hits,
+        "num_pairs": packed.count,
+    }
+    return total, metrics
+
+
+def make_train_step(model: RelationClassifier, cfg, optimizer,
+                    class_weights: np.ndarray, cs_tables=None,
+                    mesh: Optional[Mesh] = None, chunk_size: int = 0,
+                    donate: bool = True):
+    """Builds the jitted train step.  With a mesh, wraps the local step in
+    shard_map over the 'data' axis (batch-sharded inputs, replicated params,
+    pmean gradients over ICI)."""
+    capacity = cfg.pair_capacity
+    weights = jnp.asarray(class_weights)
+    shards = 1 if mesh is None else mesh.shape["data"]
+    local_capacity = max(capacity // shards, 1)
+
+    def local_step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        if mesh is not None:
+            # per-shard dropout streams, like per-rank seeds under DDP
+            rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+
+        def loss_fn(params):
+            r1, r2 = jax.random.split(rng)
+            out, packed = forward_pairs(
+                model, params, batch, local_capacity, view="features",
+                deterministic=False, dropout_rng=r1, chunk_size=chunk_size)
+            out_aug = None
+            if "features_aug" in batch:
+                out_aug, _ = forward_pairs(
+                    model, params, batch, local_capacity,
+                    view="features_aug", deterministic=False,
+                    dropout_rng=r2, chunk_size=chunk_size)
+            targets = pair_targets(batch, packed)
+            return compute_losses(cfg.model, cfg.training, out, out_aug,
+                                  packed, targets, weights, cs_tables)
+
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        if mesh is not None:
+            grads = jax.lax.pmean(grads, "data")
+            metrics = jax.lax.pmean(metrics, "data")
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    if mesh is None:
+        return jax.jit(local_step, donate_argnums=(0,) if donate else ())
+
+    batch_specs = {
+        "features": P("data"), "features_aug": P("data"),
+        "depth": P("data"), "cats": P("data"), "super_mh": P("data"),
+        "boxes": P("data"), "rel": P("data"), "valid": P("data"),
+    }
+    sharded = jax.shard_map(
+        local_step, mesh=mesh,
+        in_specs=(P(), batch_specs, P()),
+        out_specs=(P(), P()),
+        check_vma=False)
+    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model: RelationClassifier, cfg, capacity: int = 0,
+                   chunk_size: int = 0):
+    """Jitted deterministic forward returning everything the evaluator needs
+    (relations, connectivity, packed indexing, overlap filter)."""
+    cap = capacity or cfg.pair_capacity
+
+    def step(params, batch):
+        out, packed = forward_pairs(model, params, batch, cap,
+                                    deterministic=True,
+                                    chunk_size=chunk_size)
+        targets = pair_targets(batch, packed)
+        s = batch["features"].shape[1]
+        iou_ok_grid = pair_ops.eval_pair_filter(batch["boxes"], s)
+        b, n = batch["cats"].shape
+        iou_ok = iou_ok_grid.reshape(b, n * n)[
+            packed.img, packed.sub * n + packed.obj] & packed.mask
+        return {
+            "relation": out["relation"],
+            "super_relation": out["super_relation"],
+            "connectivity": out["connectivity"],
+            "targets": targets,
+            "pair_img": packed.img, "pair_sub": packed.sub,
+            "pair_obj": packed.obj, "pair_mask": packed.mask,
+            "iou_ok": iou_ok,
+        }
+
+    return jax.jit(step)
