@@ -1,0 +1,84 @@
+"""Dataset artifacts: triplet tables, super-category maps, zero-shot sets.
+
+The reference ships these as torch-pickled dicts (SURVEY.md §2.2); here they
+live as dense numpy tables in one .npz per dataset so jitted programs can use
+O(1) lookups.  `tools/convert_reference_artifacts.py` produces the .npz from
+the reference's .pt files; loaders degrade gracefully (None) when absent.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+NUM_OBJ = 150
+NUM_REL = 50
+NUM_SUPER = 17
+
+
+def triplet_table_from_ids(sub, rel, obj, num_obj=NUM_OBJ,
+                           num_rel=NUM_REL) -> np.ndarray:
+    """Dense (num_obj * num_rel * num_obj,) bool membership table."""
+    table = np.zeros(num_obj * num_rel * num_obj, dtype=bool)
+    tid = (np.asarray(sub, np.int64) * num_rel + np.asarray(rel)) \
+        * num_obj + np.asarray(obj)
+    table[tid] = True
+    return table
+
+
+def parse_triplet_strings(keys) -> Dict[str, np.ndarray]:
+    """'sub_rel_obj' string keys -> id arrays (the reference keys its
+    train/test/zero-shot dicts this way, reference dataset_utils.py:251)."""
+    subs, rels, objs = [], [], []
+    for k in keys:
+        s, r, o = k.split("_")
+        subs.append(int(s))
+        rels.append(int(r))
+        objs.append(int(o))
+    return {"sub": np.asarray(subs, np.int32),
+            "rel": np.asarray(rels, np.int32),
+            "obj": np.asarray(objs, np.int32)}
+
+
+class VGArtifacts:
+    """Loaded artifact bundle for Visual Genome."""
+
+    def __init__(self, zs_table=None, train_table=None, test_table=None,
+                 sub2super=None, cs_aligned=None, cs_violated=None):
+        self.zs_table = zs_table            # (obj*rel*obj,) bool
+        self.train_table = train_table
+        self.test_table = test_table
+        self.sub2super = sub2super          # (num_obj, 17) bool multi-hot
+        self.cs_aligned = cs_aligned        # (obj*rel*obj,) bool
+        self.cs_violated = cs_violated
+
+
+def load_vg_artifacts(artifacts_dir: str) -> VGArtifacts:
+    path = os.path.join(artifacts_dir, "vg_artifacts.npz")
+    if not os.path.exists(path):
+        return VGArtifacts()
+    data = np.load(path)
+
+    def table(prefix):
+        if f"{prefix}_sub" not in data:
+            return None
+        return triplet_table_from_ids(data[f"{prefix}_sub"],
+                                      data[f"{prefix}_rel"],
+                                      data[f"{prefix}_obj"])
+
+    return VGArtifacts(
+        zs_table=table("zs"), train_table=table("train"),
+        test_table=table("test"),
+        sub2super=data["sub2super"] if "sub2super" in data else None,
+        cs_aligned=table("cs_aligned"), cs_violated=table("cs_violated"))
+
+
+def default_sub2super(num_obj: int = NUM_OBJ,
+                      num_super: int = NUM_SUPER) -> np.ndarray:
+    """Fallback multi-hot map when the converted artifact is unavailable
+    (used by synthetic tests only)."""
+    mh = np.zeros((num_obj, num_super), dtype=bool)
+    mh[np.arange(num_obj), np.arange(num_obj) % num_super] = True
+    return mh

@@ -1,0 +1,293 @@
+"""DETR-ResNet101 detector in Flax (frozen feature/detection backbone).
+
+The reference loads `torch.hub facebookresearch/detr detr_resnet101`, swaps
+the class head to 151 VG classes (602 for OIv6), remaps checkpoint keys, and
+keeps the whole detector frozen in eval mode (reference utils.py:88-120,
+train_test.py:80-81).  This module re-implements the architecture natively:
+
+  * ResNet-101 v1.5 backbone with frozen batch-norm (all stats are params;
+    the detector is never trained here, matching the reference);
+  * sine positional embeddings (DETR PositionEmbeddingSine, normalized);
+  * post-norm transformer encoder (6 layers) and decoder (6 layers, 100
+    learned queries, final LayerNorm);
+  * class head (num_classes + 1 logits) and 3-layer box MLP with sigmoid
+    cxcywh output.
+
+Two public paths:
+  * `encode_features`: backbone -> input_proj -> encoder -> (B, S, S, 256)
+    feature map for the relation stage (reference train_utils.py:9-18);
+  * `__call__`: full detection forward returning pred_logits / pred_boxes
+    (reference evaluate.py:309).
+
+TPU notes: NHWC layout; images arrive at a static padded canvas with a
+validity mask (the reference's NestedTensor raggedness, reference
+utils.py:153-204, becomes mask-carrying fixed shapes).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with all statistics as (frozen) parameters — the detector is
+    never trained, so scale/bias/mean/var are plain constants from the
+    converted checkpoint."""
+    features: int
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        w = self.param("weight", nn.initializers.ones, (self.features,))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("running_mean", nn.initializers.zeros,
+                          (self.features,))
+        var = self.param("running_var", nn.initializers.ones,
+                         (self.features,))
+        scale = (w / jnp.sqrt(var + self.eps)).astype(self.dtype)
+        shift = (b - mean * w / jnp.sqrt(var + self.eps)).astype(self.dtype)
+        return x * scale + shift
+
+
+class Bottleneck(nn.Module):
+    planes: int
+    stride: int = 1
+    downsample: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        conv = lambda f, k, s, name: nn.Conv(  # noqa: E731
+            f, (k, k), strides=(s, s), padding=[(k // 2, k // 2)] * 2,
+            use_bias=False, dtype=self.dtype, name=name)
+        out = conv(self.planes, 1, 1, "conv1")(x)
+        out = FrozenBatchNorm(self.planes, dtype=self.dtype, name="bn1")(out)
+        out = nn.relu(out)
+        out = conv(self.planes, 3, self.stride, "conv2")(out)
+        out = FrozenBatchNorm(self.planes, dtype=self.dtype, name="bn2")(out)
+        out = nn.relu(out)
+        out = conv(self.planes * 4, 1, 1, "conv3")(out)
+        out = FrozenBatchNorm(self.planes * 4, dtype=self.dtype,
+                              name="bn3")(out)
+        if self.downsample:
+            idn = conv(self.planes * 4, 1, self.stride, "downsample_conv")(x)
+            idn = FrozenBatchNorm(self.planes * 4, dtype=self.dtype,
+                                  name="downsample_bn")(idn)
+        else:
+            idn = x
+        return nn.relu(out + idn)
+
+
+class ResNet101(nn.Module):
+    """torchvision-style ResNet-101 trunk up to C5 (stride 32, 2048 ch)."""
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        x = FrozenBatchNorm(64, dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=-jnp.inf)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        for stage, (planes, blocks, stride) in enumerate(
+                [(64, 3, 1), (128, 4, 2), (256, 23, 2), (512, 3, 2)]):
+            for i in range(blocks):
+                x = Bottleneck(planes, stride=stride if i == 0 else 1,
+                               downsample=(i == 0), dtype=self.dtype,
+                               name=f"layer{stage + 1}_{i}")(x)
+        return x
+
+
+def sine_position_embedding(mask: jnp.ndarray, num_pos_feats: int = 128,
+                            temperature: float = 10000.0,
+                            dtype=jnp.float32) -> jnp.ndarray:
+    """DETR PositionEmbeddingSine (normalized, scale 2*pi).
+
+    mask: (B, H, W) bool — True where the canvas holds real pixels.
+    Returns (B, H, W, 2 * num_pos_feats).
+    """
+    not_mask = mask.astype(jnp.float32)
+    y_embed = jnp.cumsum(not_mask, axis=1)
+    x_embed = jnp.cumsum(not_mask, axis=2)
+    eps = 1e-6
+    scale = 2 * math.pi
+    y_embed = y_embed / (y_embed[:, -1:, :] + eps) * scale
+    x_embed = x_embed / (x_embed[:, :, -1:] + eps) * scale
+    dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2 * (dim_t // 2) / num_pos_feats)
+    pos_x = x_embed[..., None] / dim_t
+    pos_y = y_embed[..., None] / dim_t
+    pos_x = jnp.stack([jnp.sin(pos_x[..., 0::2]), jnp.cos(pos_x[..., 1::2])],
+                      axis=-1).reshape(pos_x.shape[:-1] + (-1,))
+    pos_y = jnp.stack([jnp.sin(pos_y[..., 0::2]), jnp.cos(pos_y[..., 1::2])],
+                      axis=-1).reshape(pos_y.shape[:-1] + (-1,))
+    return jnp.concatenate([pos_y, pos_x], axis=-1).astype(dtype)
+
+
+class MHA(nn.Module):
+    """Multi-head attention with separate q/k/v inputs and key padding mask
+    (torch nn.MultiheadAttention semantics; in_proj is split into q/k/v
+    Dense layers for conversion)."""
+    d_model: int
+    nhead: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, q, k, v, key_padding_mask: Optional[jnp.ndarray]
+                 = None):
+        d_head = self.d_model // self.nhead
+        dense = lambda name: nn.Dense(self.d_model, dtype=self.dtype,  # noqa
+                                      name=name)
+        qh = dense("q_proj")(q).reshape(q.shape[:-1] + (self.nhead, d_head))
+        kh = dense("k_proj")(k).reshape(k.shape[:-1] + (self.nhead, d_head))
+        vh = dense("v_proj")(v).reshape(v.shape[:-1] + (self.nhead, d_head))
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / math.sqrt(d_head)
+        if key_padding_mask is not None:
+            # key_padding_mask: (B, K) True = valid key
+            bias = jnp.where(key_padding_mask[:, None, None, :], 0.0,
+                             jnp.finfo(jnp.float32).min)
+            logits = logits + bias
+        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        attn = attn.astype(vh.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh)
+        out = out.reshape(q.shape[:-1] + (self.d_model,))
+        return nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(out)
+
+
+class EncoderLayer(nn.Module):
+    d_model: int = 256
+    nhead: int = 8
+    dim_ff: int = 2048
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, src, pos, key_padding_mask):
+        q = k = src + pos
+        src2 = MHA(self.d_model, self.nhead, self.dtype,
+                   name="self_attn")(q, k, src, key_padding_mask)
+        src = nn.LayerNorm(name="norm1")(src + src2)
+        src2 = nn.Dense(self.dim_ff, dtype=self.dtype, name="linear1")(src)
+        src2 = nn.Dense(self.d_model, dtype=self.dtype,
+                        name="linear2")(nn.relu(src2))
+        return nn.LayerNorm(name="norm2")(src + src2)
+
+
+class DecoderLayer(nn.Module):
+    d_model: int = 256
+    nhead: int = 8
+    dim_ff: int = 2048
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, tgt, memory, pos, query_pos, key_padding_mask):
+        q = k = tgt + query_pos
+        tgt2 = MHA(self.d_model, self.nhead, self.dtype,
+                   name="self_attn")(q, k, tgt)
+        tgt = nn.LayerNorm(name="norm1")(tgt + tgt2)
+        tgt2 = MHA(self.d_model, self.nhead, self.dtype,
+                   name="cross_attn")(tgt + query_pos, memory + pos, memory,
+                                      key_padding_mask)
+        tgt = nn.LayerNorm(name="norm2")(tgt + tgt2)
+        tgt2 = nn.Dense(self.dim_ff, dtype=self.dtype, name="linear1")(tgt)
+        tgt2 = nn.Dense(self.d_model, dtype=self.dtype,
+                        name="linear2")(nn.relu(tgt2))
+        return nn.LayerNorm(name="norm3")(tgt + tgt2)
+
+
+class DETR(nn.Module):
+    """DETR-ResNet101 with a swapped class head (151 / 602 classes)."""
+    num_classes: int = 151          # 150 VG classes + no-object
+    num_queries: int = 100
+    d_model: int = 256
+    nhead: int = 8
+    num_encoder_layers: int = 6
+    num_decoder_layers: int = 6
+    dim_ff: int = 2048
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = ResNet101(dtype=self.dtype)
+        self.input_proj = nn.Conv(self.d_model, (1, 1), use_bias=True,
+                                  dtype=self.dtype, name="input_proj")
+        self.encoder_layers = [
+            EncoderLayer(self.d_model, self.nhead, self.dim_ff, self.dtype,
+                         name=f"encoder_{i}")
+            for i in range(self.num_encoder_layers)]
+        self.decoder_layers = [
+            DecoderLayer(self.d_model, self.nhead, self.dim_ff, self.dtype,
+                         name=f"decoder_{i}")
+            for i in range(self.num_decoder_layers)]
+        self.decoder_norm = nn.LayerNorm(name="decoder_norm")
+        self.query_embed = nn.Embed(self.num_queries, self.d_model,
+                                    name="query_embed")
+        self.class_embed = nn.Dense(self.num_classes, dtype=self.dtype,
+                                    name="class_embed")
+        self.bbox_layers = [nn.Dense(self.d_model, dtype=self.dtype,
+                                     name=f"bbox_embed_{i}")
+                            for i in range(2)]
+        self.bbox_out = nn.Dense(4, dtype=self.dtype, name="bbox_embed_2")
+
+    # -------- shared trunk --------
+
+    def _encode(self, images: jnp.ndarray,
+                pixel_mask: Optional[jnp.ndarray]):
+        """images: (B, H, W, 3); pixel_mask: (B, H, W) True = real pixels."""
+        feat = self.backbone(images.astype(self.dtype))
+        b, h, w, _ = feat.shape
+        if pixel_mask is None:
+            fmask = jnp.ones((b, h, w), bool)
+        else:
+            # downsample the pixel mask to the feature grid like DETR's
+            # F.interpolate on the boolean mask (reference utils.py:185-204)
+            ys = (jnp.arange(h) * pixel_mask.shape[1]) // h
+            xs = (jnp.arange(w) * pixel_mask.shape[2]) // w
+            fmask = pixel_mask[:, ys][:, :, xs]
+        pos = sine_position_embedding(fmask, self.d_model // 2,
+                                      dtype=self.dtype)
+        src = self.input_proj(feat)
+        src = src.reshape(b, h * w, self.d_model)
+        pos = pos.reshape(b, h * w, self.d_model)
+        kmask = fmask.reshape(b, h * w)
+        for layer in self.encoder_layers:
+            src = layer(src, pos, kmask)
+        return src, pos, kmask, (h, w)
+
+    def encode_features(self, images: jnp.ndarray,
+                        pixel_mask: Optional[jnp.ndarray] = None):
+        """Encoder-only feature path for the relation stage: (B, S, S, 256)
+        (reference train_utils.py:9-18)."""
+        src, _, _, (h, w) = self._encode(images, pixel_mask)
+        return src.reshape(src.shape[0], h, w, self.d_model)
+
+    def __call__(self, images: jnp.ndarray,
+                 pixel_mask: Optional[jnp.ndarray] = None):
+        """Full detection forward: dict with pred_logits (B, Q, C+1) and
+        pred_boxes (B, Q, 4) in normalized cxcywh."""
+        memory, pos, kmask, _ = self._encode(images, pixel_mask)
+        b = memory.shape[0]
+        tgt = jnp.zeros((b, self.num_queries, self.d_model), self.dtype)
+        query_pos = jnp.broadcast_to(
+            self.query_embed.embedding[None], tgt.shape).astype(self.dtype)
+        for layer in self.decoder_layers:
+            tgt = layer(tgt, memory, pos, query_pos, kmask)
+        hs = self.decoder_norm(tgt)
+        logits = self.class_embed(hs)
+        x = hs
+        for lyr in self.bbox_layers:
+            x = nn.relu(lyr(x))
+        boxes = jax.nn.sigmoid(self.bbox_out(x).astype(jnp.float32))
+        return {"pred_logits": logits.astype(jnp.float32),
+                "pred_boxes": boxes}
+
+
+def make_detr(cfg) -> DETR:
+    num = 151 if cfg.data.dataset == "vg" else 602
+    return DETR(num_classes=num, dtype=jnp.dtype(cfg.model.compute_dtype))
