@@ -71,15 +71,17 @@ def _fake_torch_state(rng):
     d, ff, q, ncls = 32, 64, 10, 151
 
     def add_conv(name, cout, cin, k):
-        st[name] = rng.standard_normal((cout, cin, k, k)).astype(np.float32)
+        # fan-in scaled so the 101-layer trunk doesn't overflow
+        st[name] = (rng.standard_normal((cout, cin, k, k))
+                    / np.sqrt(cin * k * k)).astype(np.float32)
 
     def add_bn(prefix, c):
-        for suffix in ["weight", "bias", "running_mean"]:
-            st[f"{prefix}.{suffix}"] = rng.standard_normal(c).astype(
-                np.float32)
-        # variance must be positive or sqrt() NaNs
-        st[f"{prefix}.running_var"] = (
-            np.abs(rng.standard_normal(c)) + 0.5).astype(np.float32)
+        st[f"{prefix}.weight"] = np.ones(c, np.float32)
+        st[f"{prefix}.bias"] = (0.01 * rng.standard_normal(c)).astype(
+            np.float32)
+        st[f"{prefix}.running_mean"] = (
+            0.01 * rng.standard_normal(c)).astype(np.float32)
+        st[f"{prefix}.running_var"] = np.ones(c, np.float32)
 
     add_conv("backbone.0.body.conv1.weight", 64, 3, 7)
     add_bn("backbone.0.body.bn1", 64)
@@ -100,28 +102,31 @@ def _fake_torch_state(rng):
                 add_bn(f"{pre}.downsample.1", planes * 4)
                 inplanes = planes * 4
 
-    st["input_proj.weight"] = rng.standard_normal(
-        (d, 2048, 1, 1)).astype(np.float32)
-    st["input_proj.bias"] = rng.standard_normal(d).astype(np.float32)
+    st["input_proj.weight"] = (rng.standard_normal((d, 2048, 1, 1))
+                               / np.sqrt(2048)).astype(np.float32)
+    st["input_proj.bias"] = (0.01 * rng.standard_normal(d)).astype(
+        np.float32)
 
     def add_attn(prefix):
-        st[f"{prefix}.in_proj_weight"] = rng.standard_normal(
-            (3 * d, d)).astype(np.float32)
-        st[f"{prefix}.in_proj_bias"] = rng.standard_normal(
-            3 * d).astype(np.float32)
-        st[f"{prefix}.out_proj.weight"] = rng.standard_normal(
-            (d, d)).astype(np.float32)
-        st[f"{prefix}.out_proj.bias"] = rng.standard_normal(d).astype(
-            np.float32)
+        st[f"{prefix}.in_proj_weight"] = (rng.standard_normal(
+            (3 * d, d)) / np.sqrt(d)).astype(np.float32)
+        st[f"{prefix}.in_proj_bias"] = (0.01 * rng.standard_normal(
+            3 * d)).astype(np.float32)
+        st[f"{prefix}.out_proj.weight"] = (rng.standard_normal(
+            (d, d)) / np.sqrt(d)).astype(np.float32)
+        st[f"{prefix}.out_proj.bias"] = (0.01 * rng.standard_normal(
+            d)).astype(np.float32)
 
     def add_dense(prefix, cout, cin):
-        st[f"{prefix}.weight"] = rng.standard_normal(
-            (cout, cin)).astype(np.float32)
-        st[f"{prefix}.bias"] = rng.standard_normal(cout).astype(np.float32)
+        st[f"{prefix}.weight"] = (rng.standard_normal((cout, cin))
+                                  / np.sqrt(cin)).astype(np.float32)
+        st[f"{prefix}.bias"] = (0.01 * rng.standard_normal(cout)).astype(
+            np.float32)
 
     def add_ln(prefix):
-        st[f"{prefix}.weight"] = rng.standard_normal(d).astype(np.float32)
-        st[f"{prefix}.bias"] = rng.standard_normal(d).astype(np.float32)
+        st[f"{prefix}.weight"] = np.ones(d, np.float32)
+        st[f"{prefix}.bias"] = (0.01 * rng.standard_normal(d)).astype(
+            np.float32)
 
     for i in range(2):
         pre = f"transformer.encoder.layers.{i}"
@@ -140,7 +145,8 @@ def _fake_torch_state(rng):
         add_ln(f"{pre}.norm2")
         add_ln(f"{pre}.norm3")
     add_ln("transformer.decoder.norm")
-    st["query_embed.weight"] = rng.standard_normal((q, d)).astype(np.float32)
+    st["query_embed.weight"] = (rng.standard_normal((q, d))
+                                / np.sqrt(d)).astype(np.float32)
     add_dense("class_embed", ncls, d)
     for i in range(3):
         add_dense(f"bbox_embed.layers.{i}",
