@@ -1,0 +1,170 @@
+"""CLI entry point mirroring the reference's main.py flag surface
+(reference main.py:18-127):
+
+  python main.py --run_mode {train,eval,prepare_cs,train_cs,eval_cs}
+                 --eval_mode {pc,sgc,sgd} --cluster {motif,gpt2,bert,clip}
+                 [--hierar] [--dataset {vg,oiv6}] [--synthetic N]
+
+--synthetic N runs the pipeline on N synthetic VG-shaped batches (no images
+on disk needed) — the smoke-test analogue of the reference's
+percent_train/percent_test subsampling knobs (reference config.yaml:17-18).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def parse_args():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--run_mode", default="train",
+                    choices=["train", "eval", "prepare_cs", "train_cs",
+                             "eval_cs"])
+    ap.add_argument("--eval_mode", default="pc",
+                    choices=["pc", "sgc", "sgd"])
+    ap.add_argument("--cluster", default="motif",
+                    choices=["motif", "gpt2", "bert", "clip"])
+    ap.add_argument("--hierar", action="store_true")
+    ap.add_argument("--dataset", default="vg", choices=["vg", "oiv6"])
+    ap.add_argument("--config", default=None, help="optional YAML config")
+    ap.add_argument("--synthetic", type=int, default=0,
+                    help="run on N synthetic batches instead of real data")
+    ap.add_argument("--batch_size", type=int, default=None)
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--mesh_data", type=int, default=-1,
+                    help="data-parallel mesh axis size (-1 = all devices)")
+    return ap.parse_args()
+
+
+def build_cfg(args):
+    from scene_graph_commonsense_tpu.config import load_config
+    overrides = {"dataset": args.dataset,
+                 "supcat_clustering": args.cluster,
+                 "hierarchical_pred": args.hierar,
+                 "run_mode": args.run_mode,
+                 "eval_mode": args.eval_mode}
+    cfg = load_config(args.config, **overrides)
+    training = {}
+    if args.batch_size:
+        training["batch_size"] = args.batch_size
+    if args.epochs:
+        training["num_epoch"] = args.epochs
+    if training:
+        import dataclasses
+        cfg = cfg.replace(training=dataclasses.replace(cfg.training,
+                                                       **training))
+    return cfg
+
+
+def synthetic_batches(cfg, n_batches, seed=0, with_aug=True):
+    from scene_graph_commonsense_tpu.data.synthetic import synthetic_batch
+
+    def gen(epoch=0):
+        rng = np.random.default_rng(seed + epoch)
+        for _ in range(n_batches):
+            yield synthetic_batch(
+                rng, batch_size=cfg.training.batch_size,
+                max_objects=cfg.data.max_objects,
+                feature_size=cfg.model.feature_size,
+                num_channels=cfg.model.num_img_feature,
+                num_classes=cfg.model.num_classes,
+                num_relations=cfg.model.num_relations,
+                with_aug=with_aug)
+
+    return gen
+
+
+def real_batches(cfg, training: bool):
+    from scene_graph_commonsense_tpu.data.dataset import (
+        VGDataset, batches_from_dataset)
+    annot = (cfg.data.annotation_train if training
+             else cfg.data.annotation_test)
+    if not os.path.exists(annot):
+        sys.exit(f"annotation file {annot} not found; run the preprocessing "
+                 f"pipeline (tools/preprocess_vg.py) or use --synthetic N")
+    with open(annot) as f:
+        annotations = json.load(f)
+    ds = VGDataset(cfg, annotations, training=training)
+    pct = cfg.data.percent_train if training else cfg.data.percent_test
+
+    def gen(epoch=0):
+        return batches_from_dataset(ds, cfg.training.batch_size,
+                                    seed=epoch, shuffle=training,
+                                    percent=pct)
+
+    return gen
+
+
+def init_relation_params(cfg, model):
+    import jax
+    import jax.numpy as jnp
+    s = cfg.model.feature_size
+    x = jnp.zeros((2, s, s, cfg.model.num_img_feature + 1))
+    c = jnp.zeros(2, jnp.int32)
+    sc = jnp.zeros((2, cfg.model.num_super_classes))
+    return model.init(jax.random.PRNGKey(0), x, x, c, c, sc, sc)
+
+
+def main():
+    args = parse_args()
+    cfg = build_cfg(args)
+    print(f"run_mode={cfg.training.run_mode} eval_mode="
+          f"{cfg.training.eval_mode} dataset={cfg.data.dataset} "
+          f"hierar={cfg.model.hierarchical_pred} "
+          f"cluster={cfg.data.supcat_clustering}")
+
+    import jax
+    from scene_graph_commonsense_tpu.data.artifacts import load_vg_artifacts
+    from scene_graph_commonsense_tpu.models.relation_head import (
+        make_relation_classifier)
+    from scene_graph_commonsense_tpu.parallel.mesh import make_mesh
+
+    model = make_relation_classifier(cfg)
+    params = init_relation_params(cfg, model)
+    artifacts = load_vg_artifacts(cfg.data.artifacts_dir)
+    mesh = None
+    if len(jax.devices()) > 1:
+        mesh = make_mesh(data=args.mesh_data,
+                         model=cfg.parallel.model_axis)
+
+    if args.synthetic:
+        train_fn = synthetic_batches(cfg, args.synthetic)
+        test_fn = synthetic_batches(cfg, max(args.synthetic // 4, 1),
+                                    seed=100, with_aug=False)
+    else:
+        train_fn = real_batches(cfg, training=True)
+        test_fn = real_batches(cfg, training=False)
+        sys.exit("real-data featurization requires converted DETR weights; "
+                 "see README (round-1 path: --synthetic)")
+
+    run_mode = cfg.training.run_mode
+    if run_mode in ("train", "train_cs"):
+        from scene_graph_commonsense_tpu.train.loop import fit
+        fit(cfg, model, params, train_fn, test_fn,
+            steps_per_epoch=args.synthetic or 1000, artifacts=artifacts,
+            mesh=mesh)
+    elif run_mode in ("eval", "eval_cs"):
+        from scene_graph_commonsense_tpu.eval import engines
+        use_cs = run_mode == "eval_cs"
+        if cfg.training.eval_mode == "pc":
+            res = engines.run_eval_pc(cfg, model, params, test_fn(0),
+                                      artifacts=artifacts, use_cs=use_cs)
+        else:
+            sys.exit("sgc/sgd need DETR detections; wire a converted "
+                     "checkpoint via eval.engines.make_detr_detect_fn")
+        print(json.dumps({k: v for k, v in res.items()
+                          if isinstance(v, (int, float, list))
+                          and k != "recall_per_class"}, default=str))
+    elif run_mode == "prepare_cs":
+        from scene_graph_commonsense_tpu.commonsense.pipeline import (
+            run_prepare_cs)
+        run_prepare_cs(cfg, model, params, train_fn(0), artifacts)
+    else:
+        sys.exit(f"unhandled run_mode {run_mode}")
+
+
+if __name__ == "__main__":
+    main()

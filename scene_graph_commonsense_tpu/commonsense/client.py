@@ -1,0 +1,160 @@
+"""LLM/VLM query client for commonsense validation.
+
+Reproduces the reference's validation protocols (reference query_llm.py):
+  * GPT-3.5-instruct path: four prompt paraphrases per edge (two affirmative,
+    two negated) with a weighted majority vote — the first prompt counts
+    double, the last two reverse Yes/No polarity (reference
+    query_llm.py:90-158);
+  * GPT-4V path: one chain-of-thought yes/no query over the union-box crop
+    (reference query_llm.py:193-257);
+  * probabilistic EdgeCache reuse between queries.
+
+The network layer is an injectable `transport(prompts) -> list[str]`
+(completion texts), so tests and offline runs use a mock; the default
+transport posts to the OpenAI API when a key is configured.  Unlike the
+reference's ThreadPoolExecutor that mutates shared evaluator state from
+worker threads (reference evaluator.py:450-456 — a data race), this client
+is purely functional: inputs in, votes out.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Callable, List, Optional, Sequence, Tuple
+
+from scene_graph_commonsense_tpu.commonsense.cache import (
+    EdgeCache, ImageCache, probabilistic_cache_lookup)
+
+PROMPT_VARIATIONS = [
+    "Is the relation '{}' generally make sense or a trivially true fact? "
+    "Answer with 'Yes' or 'No' and justify your answer. A trivially true "
+    "relation is still a 'Yes'.",
+    "Could there be either a {} or a {}s? Yes or No and justify your "
+    "answer.",
+    "Regardless of whether it is basic or redundant, is the relation '{}' "
+    "incorrect and is a mis-classification in scene graph generation? Show "
+    "your reasoning and answer 'Yes' or 'No'.",
+    "Is the relation {} impossible in real world? Answer 'Yes' or 'No' and "
+    "explain your answer.",
+]
+
+
+def build_prompts(edges: Sequence[str]) -> List[str]:
+    prompts = []
+    for edge in edges:
+        for i, variation in enumerate(PROMPT_VARIATIONS):
+            if i == 1:
+                prompts.append(variation.format(edge, edge))
+            else:
+                prompts.append(variation.format(edge))
+    return prompts
+
+
+def majority_vote(completions: Sequence[str], num_edges: int) -> List[int]:
+    """Weighted vote over the 4 paraphrases per edge -> +1 / -1 (reference
+    query_llm.py:121-157): prompt 0 counts double; prompts 2 and 3 are
+    negated, and a non-answer counts as a No (i.e. a Yes for the edge)."""
+    votes = []
+    k = len(PROMPT_VARIATIONS)
+    for i in range(num_edges):
+        yes, no = 0, 0
+        for j in range(k):
+            text = completions[i * k + j]
+            if j in (2, 3):                 # reversed polarity
+                if re.search(r"Yes", text):
+                    no += 1
+                elif re.search(r"No", text):
+                    yes += 1
+                else:
+                    no += 1
+            else:
+                weight = 2 if j == 0 else 1
+                if re.search(r"Yes", text):
+                    yes += weight
+                else:
+                    no += weight
+        votes.append(1 if yes > no else -1)
+    return votes
+
+
+def openai_completion_transport(model: str = "gpt-3.5-turbo-instruct",
+                                key_path: str = "openai_key.txt"):
+    """Default network transport (requires an API key and egress)."""
+
+    def transport(prompts: List[str]) -> List[str]:
+        import requests
+        key = os.environ.get("OPENAI_API_KEY")
+        if key is None and os.path.exists(key_path):
+            with open(key_path) as f:
+                key = f.read().strip()
+        if key is None:
+            raise RuntimeError("no OpenAI API key configured")
+        resp = requests.post(
+            "https://api.openai.com/v1/completions",
+            headers={"Authorization": f"Bearer {key}"},
+            json={"model": model, "prompt": prompts, "temperature": 0,
+                  "max_tokens": 100}, timeout=120)
+        choices = resp.json()["choices"]
+        ordered = sorted(choices, key=lambda c: c.get("index", 0))
+        return [c.get("text", "") for c in ordered]
+
+    return transport
+
+
+def batch_query_edges(edges: Sequence[str], cache: EdgeCache,
+                      transport: Callable[[List[str]], List[str]],
+                      batch_size: int = 4, reuse_prob: float = 0.9,
+                      rng=None) -> Tuple[List[int], int]:
+    """Text-only validation with probabilistic cache reuse (reference
+    query_llm.py:50-87).  Returns (votes per edge, cache hits)."""
+    responses: List[Optional[int]] = [None] * len(edges)
+    cache_hits = 0
+    to_query, query_slots = [], []
+    for i, edge in enumerate(edges):
+        cached = probabilistic_cache_lookup(cache, edge, reuse_prob, rng)
+        if cached is not None:
+            responses[i] = cached
+            cache_hits += 1
+        else:
+            to_query.append(edge)
+            query_slots.append(i)
+
+    for start in range(0, len(to_query), batch_size):
+        chunk = to_query[start:start + batch_size]
+        completions = transport(build_prompts(chunk))
+        votes = majority_vote(completions, len(chunk))
+        for off, vote in enumerate(votes):
+            idx = query_slots[start + off]
+            responses[idx] = vote
+            cache.put(edges[idx], vote)
+    return [int(r) for r in responses], cache_hits
+
+
+def query_edges_vision(edges: Sequence[str], image_path: str,
+                       sub_boxes, obj_boxes, image_cache: ImageCache,
+                       transport: Callable[[List[str]], List[str]]
+                       ) -> List[int]:
+    """GPT-4V path: one CoT yes/no query per edge over the union-box crop
+    (reference query_llm.py:193-257).  transport receives one prompt per
+    call; the base64 crop is appended after a newline marker so mock
+    transports can ignore it."""
+    from scene_graph_commonsense_tpu.ops.boxes import union_box
+    import numpy as np
+    votes = []
+    for edge, sb, ob in zip(edges, sub_boxes, obj_boxes):
+        sb = np.asarray(sb) * image_cache.feature_size
+        ob = np.asarray(ob) * image_cache.feature_size
+        ub = np.asarray(union_box(sb, ob))
+        if os.path.exists(image_path):
+            b64 = image_cache.get_image(image_path, bbox=ub.tolist())
+        else:
+            votes.append(-1)
+            continue
+        prompt = (f"Does the image contain a relation '{edge}'? Let us "
+                  f"think about it step by step and answer with Yes or No "
+                  f"in the end.\n<image:{b64[:64]}...>")
+        text = transport([prompt])[0]
+        votes.append(1 if re.search(r"\bYes\b", text, re.IGNORECASE)
+                     else -1)
+    return votes

