@@ -39,6 +39,9 @@ class PackedPairs(NamedTuple):
       mask: (P,) bool — slot holds a real pair (False = padding).
       count: () int32 — number of real pairs (== mask.sum(), may exceed P
         if capacity overflowed; overflowed pairs are dropped).
+      flat_id: (P,) int32 — position in the flattened (B, N, N) grid;
+        strictly increasing over live slots (enumeration order), enabling
+        searchsorted alignment between two packings of the same grid.
     """
     img: jnp.ndarray
     sub: jnp.ndarray
@@ -47,6 +50,7 @@ class PackedPairs(NamedTuple):
     flat_obj: jnp.ndarray
     mask: jnp.ndarray
     count: jnp.ndarray
+    flat_id: jnp.ndarray
 
 
 def pair_validity(valid: jnp.ndarray) -> jnp.ndarray:
@@ -75,6 +79,7 @@ def pack_pairs(pair_ok: jnp.ndarray, capacity: int) -> PackedPairs:
     rem = slots % (n * n)
     sub = (rem // n).astype(jnp.int32)
     obj = (rem % n).astype(jnp.int32)
+    flat_id = jnp.where(mask, slots.astype(jnp.int32), jnp.int32(-1))
     # Park padding slots on a harmless in-range pair.
     img = jnp.where(mask, img, 0)
     sub = jnp.where(mask, sub, 0)
@@ -82,7 +87,21 @@ def pack_pairs(pair_ok: jnp.ndarray, capacity: int) -> PackedPairs:
     return PackedPairs(
         img=img, sub=sub, obj=obj,
         flat_sub=img * n + sub, flat_obj=img * n + obj,
-        mask=mask, count=flat_ok.sum().astype(jnp.int32))
+        mask=mask, count=flat_ok.sum().astype(jnp.int32),
+        flat_id=flat_id)
+
+
+def align_packings(base: PackedPairs, subset: PackedPairs):
+    """For each live slot of `subset`, finds its slot index in `base`
+    (both packings of the same (B, N, N) grid keep enumeration order, so
+    live flat_ids are sorted ascending).  Returns (indices, found_mask)."""
+    p = base.flat_id.shape[0]
+    big = jnp.int32(2 ** 30)
+    base_ids = jnp.where(base.mask, base.flat_id, big)
+    sub_ids = jnp.where(subset.mask, subset.flat_id, big - 1)
+    pos = jnp.clip(jnp.searchsorted(base_ids, sub_ids), 0, p - 1)
+    found = subset.mask & (base_ids[pos] == sub_ids)
+    return pos, found
 
 
 def gather_pair(values: jnp.ndarray, pairs: PackedPairs,

@@ -105,10 +105,13 @@ def _chunked_pair_trunk(model: RelationClassifier, params, a, b, packed,
 def forward_pairs(model: RelationClassifier, params, batch: Dict[str, Any],
                   capacity: int, *, view: str = "features",
                   deterministic: bool = True, dropout_rng=None,
-                  chunk_size: int = 0
+                  chunk_size: int = 0,
+                  packed: Optional[pair_ops.PackedPairs] = None
                   ) -> Tuple[Dict[str, jnp.ndarray], pair_ops.PackedPairs]:
     """Full pair-grid forward for one batch view: masks -> object streams ->
-    packed pair gather -> trunk -> label-conditioned head."""
+    packed pair gather -> trunk -> label-conditioned head.  A precomputed
+    `packed` buffer (e.g. connected-pairs-only for the contrastive view)
+    overrides the default all-valid-pairs packing."""
     b, n = batch["cats"].shape
     s = batch["features"].shape[1]
     masks = box_ops.boxes_to_masks(batch["boxes"], s,
@@ -122,8 +125,9 @@ def forward_pairs(model: RelationClassifier, params, batch: Dict[str, Any],
         rng_s = rng_t = rng_h = None
     a, bb = model.apply(params, x, method=RelationClassifier.object_streams)
 
-    packed = pair_ops.pack_pairs(pair_ops.pair_validity(batch["valid"]),
-                                 capacity)
+    if packed is None:
+        packed = pair_ops.pack_pairs(pair_ops.pair_validity(batch["valid"]),
+                                     capacity)
     h = _chunked_pair_trunk(model, params, a, bb, packed, chunk_size,
                             deterministic, rng_t)
     flat_cats = batch["cats"].reshape(b * n)
@@ -150,9 +154,11 @@ def pair_targets(batch: Dict[str, Any], packed: pair_ops.PackedPairs):
     return jnp.where(packed.mask, rel, -1)
 
 
-def compute_losses(model_cfg, train_cfg, out, out_aug, packed, targets,
-                   class_weights, cs_tables=None):
-    """All loss terms + scalar metrics for one batch shard."""
+def compute_losses(model_cfg, train_cfg, out, packed, targets,
+                   class_weights, cs_tables=None,
+                   loss_contrast=jnp.float32(0.0)):
+    """All loss terms + scalar metrics for one batch shard (the contrastive
+    term is computed by the caller over the connected-pairs buffer)."""
     m = model_cfg
     valid = packed.mask
     connected = (targets >= 0) & valid
@@ -170,12 +176,6 @@ def compute_losses(model_cfg, train_cfg, out, out_aug, packed, targets,
             cs_tables[0], cs_tables[1], m.num_geometric, m.num_possessive,
             m.num_classes, train_cfg.lambda_cs_weak,
             train_cfg.lambda_cs_strong, m.hierarchical_pred)
-    loss_contrast = jnp.float32(0.0)
-    if out_aug is not None:
-        feats = jnp.stack([out["hidden"], out_aug["hidden"]], axis=1)
-        loss_contrast = L.supcon_hierar_loss(
-            feats.astype(jnp.float32), jnp.maximum(targets, 0), connected,
-            m.num_geometric, m.num_possessive)
 
     total = loss_rel \
         + train_cfg.lambda_connectivity * conn.loss \
@@ -206,6 +206,9 @@ def make_train_step(model: RelationClassifier, cfg, optimizer,
     weights = jnp.asarray(class_weights)
     shards = 1 if mesh is None else mesh.shape["data"]
     local_capacity = max(capacity // shards, 1)
+    # connected pairs are a minority of directed pairs (one direction of a
+    # subset of unordered pairs); half capacity is a generous bound
+    aug_capacity = max(local_capacity // 2, 1)
 
     def local_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -218,15 +221,32 @@ def make_train_step(model: RelationClassifier, cfg, optimizer,
             out, packed = forward_pairs(
                 model, params, batch, local_capacity, view="features",
                 deterministic=False, dropout_rng=r1, chunk_size=chunk_size)
-            out_aug = None
-            if "features_aug" in batch:
-                out_aug, _ = forward_pairs(
-                    model, params, batch, local_capacity,
-                    view="features_aug", deterministic=False,
-                    dropout_rng=r2, chunk_size=chunk_size)
             targets = pair_targets(batch, packed)
-            return compute_losses(cfg.model, cfg.training, out, out_aug,
-                                  packed, targets, weights, cs_tables)
+
+            # Contrastive term: the SupCon loss only consumes CONNECTED
+            # pairs' hidden states (reference train_utils.py:96-99), so the
+            # augmented view runs over a connected-pairs-only packing at
+            # reduced capacity — roughly half the aug-view pair-trunk FLOPs.
+            loss_contrast = jnp.float32(0.0)
+            if "features_aug" in batch:
+                conn_grid = pair_ops.pair_validity(batch["valid"]) \
+                    & (batch["rel"] >= 0)
+                packed_c = pair_ops.pack_pairs(conn_grid, aug_capacity)
+                out_aug, _ = forward_pairs(
+                    model, params, batch, aug_capacity,
+                    view="features_aug", deterministic=False,
+                    dropout_rng=r2, chunk_size=chunk_size, packed=packed_c)
+                pos, found = pair_ops.align_packings(packed, packed_c)
+                feats = jnp.stack([out["hidden"][pos], out_aug["hidden"]],
+                                  axis=1)
+                labels = jnp.maximum(pair_targets(batch, packed_c), 0)
+                loss_contrast = L.supcon_hierar_loss(
+                    feats.astype(jnp.float32), labels, found,
+                    cfg.model.num_geometric, cfg.model.num_possessive)
+
+            return compute_losses(cfg.model, cfg.training, out,
+                                  packed, targets, weights, cs_tables,
+                                  loss_contrast=loss_contrast)
 
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)

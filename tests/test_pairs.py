@@ -99,3 +99,23 @@ def test_eval_pair_filter_matches_mask_overlap(rng):
                 inter = int(B.mask_intersection(
                     jnp.asarray(boxes[bi, i]), jnp.asarray(boxes[bi, j])))
                 assert got[bi, i, j] == (inter > 0)
+
+
+def test_align_packings(rng):
+    b, n = 2, 5
+    valid = jnp.ones((b, n), bool)
+    ok = P.pair_validity(valid)
+    rel = rng.integers(-1, 3, (b, n, n))
+    conn = jnp.asarray(rel >= 0) & ok
+    base = P.pack_pairs(ok, b * n * (n - 1))
+    subset = P.pack_pairs(conn, 12)
+    pos, found = P.align_packings(base, subset)
+    pos, found = np.asarray(pos), np.asarray(found)
+    for k in range(12):
+        if not np.asarray(subset.mask)[k]:
+            assert not found[k]
+            continue
+        assert found[k]
+        assert int(base.img[pos[k]]) == int(subset.img[k])
+        assert int(base.sub[pos[k]]) == int(subset.sub[k])
+        assert int(base.obj[pos[k]]) == int(subset.obj[k])
