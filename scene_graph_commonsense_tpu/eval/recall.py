@@ -271,7 +271,10 @@ class Evaluator:
         def _safe(n, d):
             return n / max(d, 1e-3)
 
-        with np.errstate(invalid="ignore", divide="ignore"):
+        import warnings
+        with np.errstate(invalid="ignore", divide="ignore"), \
+                warnings.catch_warnings():
+            warnings.filterwarnings("ignore", "Mean of empty slice")
             recall = [_safe(self.hits[k], self.num_targets)
                       for k in self.top_k]
             per_class = [self.hits_per_class[k] / self.targets_per_class

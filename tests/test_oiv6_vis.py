@@ -1,0 +1,128 @@
+"""OIv6 dataset, visualization dumps, depth normalization, clustering."""
+
+import json
+
+import numpy as np
+
+from scene_graph_commonsense_tpu.config import derive
+from scene_graph_commonsense_tpu.constants import OIV6_REORDER_BY_SUPER
+from scene_graph_commonsense_tpu.data.oiv6 import OIV6Dataset, oiv6_batches
+from scene_graph_commonsense_tpu.eval.recall import Candidates, Targets
+from scene_graph_commonsense_tpu.eval.visualization import (
+    save_visualization_results, visualization_record)
+
+
+def make_oiv6_fixture(tmp_path, n_images=3):
+    records = []
+    for i in range(n_images):
+        records.append({
+            "img_fn": f"img{i}",
+            "img_size": [200, 100],            # (w, h)
+            "det_labels": [5, 17, 30],
+            "bbox": [[0, 0, 50, 50], [60, 10, 120, 60], [10, 60, 90, 95]],
+            "rel": [[0, 1, 2], [2, 0, 7]],
+        })
+    path = tmp_path / "vrd-test-anno.json"
+    path.write_text(json.dumps(records))
+    return str(path)
+
+
+def test_oiv6_dataset(tmp_path):
+    cfg = derive("oiv6", data={"max_objects": 6})
+    path = make_oiv6_fixture(tmp_path)
+    ds = OIV6Dataset(cfg, path, training=False)
+    ex = ds.get_example(0)
+    assert ex is not None
+    assert ex["cats"].shape == (6,)
+    np.testing.assert_array_equal(ex["cats"][:3], [5, 17, 30])
+    # relation 2 ('wears') reorders to super slot 5
+    assert ex["rel"][0, 1] == OIV6_REORDER_BY_SUPER[2]
+    assert ex["rel"][2, 0] == OIV6_REORDER_BY_SUPER[7]
+    # boxes rescaled 200x100 -> 32x32, canonical format well-formed
+    b = ex["boxes"][ex["valid"]]
+    assert (b[:, 1] >= b[:, 0]).all() and (b[:, 3] >= b[:, 2]).all()
+    assert b.max() <= 32
+
+    batches = list(oiv6_batches(ds, batch_size=2, shuffle=False))
+    assert batches[0]["cats"].shape == (2, 6)
+    assert "super_mh" not in batches[0]
+
+
+def test_oiv6_eval_reports_wmap(tmp_path, rng):
+    """OIv6 PredCLS eval reports weighted mAP alongside R@k."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_engine import init_params
+    from scene_graph_commonsense_tpu.eval.engines import run_eval_pc
+    from scene_graph_commonsense_tpu.models.relation_head import (
+        make_relation_classifier)
+    from scene_graph_commonsense_tpu.data.synthetic import synthetic_batch
+
+    cfg = derive("oiv6",
+                 model={"feature_size": 16, "hidden_dim": 8,
+                        "num_img_feature": 16, "compute_dtype": "float32"},
+                 data={"max_objects": 5},
+                 training={"batch_size": 2})
+    model = make_relation_classifier(cfg)
+    params = init_params(cfg, model, rng)
+    batch = synthetic_batch(rng, batch_size=2, max_objects=5,
+                            feature_size=16, num_channels=16,
+                            num_classes=601, num_super=17,
+                            num_relations=30, with_aug=False)
+    batch["super_mh"] = None
+    res = run_eval_pc(cfg, model, params, [batch])
+    assert "wmap_rel" in res and "wmap_phrase" in res
+    assert 0 <= res["wmap_rel"] <= 1
+
+
+def test_visualization_dump(tmp_path, rng):
+    c = 8
+    boxes = rng.integers(0, 32, (c, 4)).astype(np.float64)
+    cand = Candidates(img=np.zeros(c, int), conf=rng.standard_normal(c),
+                      rel=rng.integers(0, 50, c),
+                      sub_cat=rng.integers(0, 150, c),
+                      obj_cat=rng.integers(0, 150, c),
+                      sub_box=boxes, obj_box=boxes)
+    tgt = Targets(img=np.zeros(2, int), rel=np.array([3, -1]),
+                  sub_cat=np.array([0, 1]), obj_cat=np.array([2, 3]),
+                  sub_box=boxes[:2], obj_box=boxes[:2])
+    rec = visualization_record(cand, tgt, 0, top_k=5, height=480, width=640)
+    assert len(rec["predicted_graph"]) == 5
+    assert len(rec["target_graph"]) == 1
+    # ranked by confidence
+    confs = [e["confidence"] for e in rec["predicted_graph"]]
+    assert confs == sorted(confs, reverse=True)
+    path = save_visualization_results(str(tmp_path), 0, cand, tgt,
+                                      heights=[480], widths=[640])
+    data = json.loads(open(path).read())
+    assert len(data) == 1
+
+
+def test_normalize_depth():
+    from scene_graph_commonsense_tpu.data.depth import normalize_depth
+    d = np.arange(64 * 64, dtype=np.float32).reshape(64, 64)
+    out = normalize_depth(d, 32)
+    assert out.shape == (32, 32)
+    # min-max scaling divides by the span (reference dataset_utils.py:108)
+    np.testing.assert_allclose(out.max() - out.min(), 1.0, atol=1e-3)
+
+
+def test_kmeans_cluster_and_map():
+    import sys
+    sys.path.insert(0, "tools")
+    from token_embeddings import kmeans, cluster_and_map
+    rng = np.random.default_rng(0)
+    x = np.concatenate([rng.normal(0, 0.1, (10, 4)),
+                        rng.normal(5, 0.1, (15, 4)),
+                        rng.normal(-5, 0.1, (25, 4))])
+    assign = kmeans(x, 3, seed=1)
+    assert len(np.unique(assign)) == 3
+    index_map, sizes = cluster_and_map(assign)
+    assert sorted(sizes) == [10, 15, 25]
+    # permutation property
+    assert sorted(index_map.tolist()) == list(range(50))
+    # within-cluster order preserves original (frequency) order
+    for c in range(3):
+        members = np.nonzero(assign == c)[0]
+        mapped = index_map[members]
+        assert (np.diff(mapped) == 1).all()

@@ -1,0 +1,139 @@
+"""Offline Visual Genome preprocessing CLI.
+
+Pipeline (reference preprocess.py + prepare_datasets.py):
+  1. raw VG JSONs -> instances_vg_{train,test}.json  (--stage instances)
+  2. instances json -> per-image annotation cache    (--stage annotations)
+  3. train/test/zero-shot triplet tables             (--stage triplets)
+
+Usage:
+  python tools/preprocess_vg.py --stage instances \
+      --raw_dir datasets/vg/annotations --h5 datasets/vg/VG-SGG-with-attri.h5
+  python tools/preprocess_vg.py --stage annotations \
+      --split train --with_depth
+  python tools/preprocess_vg.py --stage triplets
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from scene_graph_commonsense_tpu.config import derive  # noqa: E402
+from scene_graph_commonsense_tpu.constants import REL_FREQ2SCAT  # noqa: E402
+from scene_graph_commonsense_tpu.data import preprocess as pp  # noqa: E402
+
+
+def stage_instances(args, cfg):
+    raw = args.raw_dir
+    with open(os.path.join(raw, "image_data.json")) as f:
+        raw_img = json.load(f)
+    with open(os.path.join(raw, "objects.json")) as f:
+        raw_obj = json.load(f)
+    with open(os.path.join(raw, "relationships.json")) as f:
+        raw_rel = json.load(f)
+    train_idx, test_idx = pp.load_h5_split(args.h5)
+    assert len(train_idx) == 75651 and len(test_idx) == 32422, \
+        "split must match VG-SGG-with-attri.h5 (reference preprocess.py:37)"
+    vocab = "datasets/vg_scene_graph_annot"
+    train, test, sub2super = pp.build_instances_dataset(
+        raw_img, raw_obj, raw_rel,
+        os.path.join(vocab, "object_alias.txt"),
+        os.path.join(vocab, "predicate_alias.txt"),
+        os.path.join(vocab, "object_list.txt"),
+        os.path.join(vocab, "object_types.txt"),
+        train_idx, test_idx)
+    with open(cfg.data.annotation_train, "w") as f:
+        json.dump(train, f)
+    with open(cfg.data.annotation_test, "w") as f:
+        json.dump(test, f)
+    print(f"wrote {cfg.data.annotation_train} "
+          f"({len(train['images'])} images) and {cfg.data.annotation_test} "
+          f"({len(test['images'])} images)")
+
+
+def stage_annotations(args, cfg):
+    annot = (cfg.data.annotation_train if args.split == "train"
+             else cfg.data.annotation_test)
+    with open(annot) as f:
+        dataset = json.load(f)
+    depth_fn = None
+    if args.with_depth:
+        from scene_graph_commonsense_tpu.data.depth import (
+            make_midas_depth_fn)
+        depth_fn = make_midas_depth_fn(feature_size=cfg.model.feature_size)
+        if depth_fn is None:
+            print("MiDaS unavailable; writing zero depth maps")
+    n = pp.build_all_annotations(dataset, cfg.data.annot_dir,
+                                 cfg.model.feature_size, depth_fn,
+                                 cfg.data.image_dir, verbose=True)
+    print(f"wrote {n} per-image annotation files under "
+          f"{cfg.data.annot_dir}")
+
+
+def stage_triplets(args, cfg):
+    """Train/test/zero-shot triplet tables in super-category predicate order
+    (reference dataset_utils.py:231-290 incl. the wears->wearing merge)."""
+    tables = {}
+    for split, path in [("train", cfg.data.annotation_train),
+                        ("test", cfg.data.annotation_test)]:
+        with open(path) as f:
+            anns = json.load(f)["annotations"]
+        keys = set()
+        for a in anns:
+            rel = a["relation_id"]
+            if rel == 12:
+                rel = 4
+            rel = int(REL_FREQ2SCAT[rel])
+            keys.add((a["category1"], rel, a["category2"]))
+        tables[split] = keys
+        print(f"{split}: {len(keys)} unique triplets")
+    zs = tables["test"] - tables["train"]
+    print(f"zero-shot: {len(zs)} triplets")
+
+    def unzip(keys):
+        keys = sorted(keys)
+        return (np.asarray([k[0] for k in keys], np.int32),
+                np.asarray([k[1] for k in keys], np.int32),
+                np.asarray([k[2] for k in keys], np.int32))
+
+    out = {}
+    for prefix, keys in [("train", tables["train"]),
+                         ("test", tables["test"]), ("zs", zs)]:
+        s, r, o = unzip(keys)
+        out[f"{prefix}_sub"] = s
+        out[f"{prefix}_rel"] = r
+        out[f"{prefix}_obj"] = o
+    os.makedirs(cfg.data.artifacts_dir, exist_ok=True)
+    path = os.path.join(cfg.data.artifacts_dir, "vg_artifacts.npz")
+    if os.path.exists(path):
+        existing = dict(np.load(path))
+        existing.update(out)
+        out = existing
+    np.savez_compressed(path, **out)
+    print(f"wrote {path}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", required=True,
+                    choices=["instances", "annotations", "triplets"])
+    ap.add_argument("--raw_dir", default="datasets/vg/annotations")
+    ap.add_argument("--h5", default="datasets/vg/VG-SGG-with-attri.h5")
+    ap.add_argument("--split", default="train", choices=["train", "test"])
+    ap.add_argument("--with_depth", action="store_true")
+    args = ap.parse_args()
+    cfg = derive("vg")
+    if args.stage == "instances":
+        stage_instances(args, cfg)
+    elif args.stage == "annotations":
+        stage_annotations(args, cfg)
+    else:
+        stage_triplets(args, cfg)
+
+
+if __name__ == "__main__":
+    main()
