@@ -150,6 +150,13 @@ class RelationClassifier(nn.Module):
         # relu and 2x2 maxpool commute; pool first to shrink the conv3 input.
         s = nn.max_pool(s, (2, 2), strides=(2, 2))
         s = nn.relu(s)
+        return self.pair_trunk_from_pooled(s, deterministic)
+
+    def pair_trunk_from_pooled(self, s: jnp.ndarray,
+                               deterministic: bool = True):
+        """(P, S/2, S/2, 4h) pooled+activated pair maps -> (P, 4096) hidden.
+        Entry point for the fused Pallas pair-assembly kernel
+        (ops.pallas.pair_pool)."""
         s = nn.relu(self.conv3(s))
         s = nn.max_pool(s, (2, 2), strides=(2, 2))
         s = s.reshape(s.shape[0], -1)

@@ -106,7 +106,9 @@ def forward_pairs(model: RelationClassifier, params, batch: Dict[str, Any],
                   capacity: int, *, view: str = "features",
                   deterministic: bool = True, dropout_rng=None,
                   chunk_size: int = 0,
-                  packed: Optional[pair_ops.PackedPairs] = None
+                  packed: Optional[pair_ops.PackedPairs] = None,
+                  use_pallas_pool: bool = False,
+                  pallas_interpret: bool = False
                   ) -> Tuple[Dict[str, jnp.ndarray], pair_ops.PackedPairs]:
     """Full pair-grid forward for one batch view: masks -> object streams ->
     packed pair gather -> trunk -> label-conditioned head.  A precomputed
@@ -128,8 +130,20 @@ def forward_pairs(model: RelationClassifier, params, batch: Dict[str, Any],
     if packed is None:
         packed = pair_ops.pack_pairs(pair_ops.pair_validity(batch["valid"]),
                                      capacity)
-    h = _chunked_pair_trunk(model, params, a, bb, packed, chunk_size,
-                            deterministic, rng_t)
+    if use_pallas_pool:
+        # fused gather+add+maxpool+relu (ops.pallas.pair_pool); inference
+        # path only (no VJP defined)
+        from scene_graph_commonsense_tpu.ops.pallas.pair_pool import (
+            fused_pair_pool, rearrange_pool_groups)
+        a4 = rearrange_pool_groups(a)
+        b4 = rearrange_pool_groups(bb)
+        pooled = fused_pair_pool(a4, b4, packed.flat_sub, packed.flat_obj,
+                                 interpret=pallas_interpret)
+        h = model.apply(params, pooled, deterministic,
+                        method=RelationClassifier.pair_trunk_from_pooled)
+    else:
+        h = _chunked_pair_trunk(model, params, a, bb, packed, chunk_size,
+                                deterministic, rng_t)
     flat_cats = batch["cats"].reshape(b * n)
     flat_super = batch["super_mh"].reshape(b * n, -1) \
         if batch.get("super_mh") is not None else None
@@ -275,15 +289,23 @@ def make_train_step(model: RelationClassifier, cfg, optimizer,
 
 
 def make_eval_step(model: RelationClassifier, cfg, capacity: int = 0,
-                   chunk_size: int = 0):
+                   chunk_size: int = 0,
+                   use_pallas_pool: Optional[bool] = None,
+                   pallas_interpret: bool = False):
     """Jitted deterministic forward returning everything the evaluator needs
-    (relations, connectivity, packed indexing, overlap filter)."""
+    (relations, connectivity, packed indexing, overlap filter).  The fused
+    Pallas pair-assembly kernel is used automatically on TPU backends."""
     cap = capacity or cfg.pair_capacity
+    if use_pallas_pool is None:
+        platform = jax.devices()[0].platform
+        use_pallas_pool = platform not in ("cpu", "gpu")
 
     def step(params, batch):
         out, packed = forward_pairs(model, params, batch, cap,
                                     deterministic=True,
-                                    chunk_size=chunk_size)
+                                    chunk_size=chunk_size,
+                                    use_pallas_pool=use_pallas_pool,
+                                    pallas_interpret=pallas_interpret)
         targets = pair_targets(batch, packed)
         s = batch["features"].shape[1]
         iou_ok_grid = pair_ops.eval_pair_filter(batch["boxes"], s)
