@@ -53,9 +53,10 @@ def main():
     s0 = jnp.zeros((2, cfg.model.num_super_classes))
     params = model.init(jax.random.PRNGKey(0), x0, x0, c0, c0, s0, s0)
 
-    opt = engine.make_optimizer(cfg.training.learning_rate)
+    opt = engine.make_optimizer(cfg.training.learning_rate,
+                                grad_clip_norm=5.0)
     step = engine.make_train_step(model, cfg, opt, class_weights("vg"),
-                                  chunk_size=CHUNK)
+                                  chunk_size=CHUNK, use_pallas_pool=True)
     state = engine.TrainState(params, opt.init(params), jnp.int32(0))
 
     rng = np.random.default_rng(0)

@@ -130,6 +130,7 @@ def main():
         mesh = make_mesh(data=args.mesh_data,
                          model=cfg.parallel.model_axis)
 
+    featurize = None
     if args.synthetic:
         train_fn = synthetic_batches(cfg, args.synthetic)
         test_fn = synthetic_batches(cfg, max(args.synthetic // 4, 1),
@@ -137,24 +138,57 @@ def main():
     else:
         train_fn = real_batches(cfg, training=True)
         test_fn = real_batches(cfg, training=False)
-        sys.exit("real-data featurization requires converted DETR weights; "
-                 "see README (round-1 path: --synthetic)")
+        # frozen DETR-101 featurizer (reference train_utils.py:9-18); the
+        # converter (models/weights.py) produces the msgpack from the
+        # reference's torch checkpoint
+        from scene_graph_commonsense_tpu.models.detr import make_detr
+        from scene_graph_commonsense_tpu.train.loop import (
+            make_detr_featurize_fn)
+        detr = make_detr(cfg)
+        ckpt = cfg.model.detr_pretrained
+        if os.path.exists(ckpt):
+            import flax.serialization
+            with open(ckpt, "rb") as f:
+                import jax.numpy as jnp
+                s = cfg.model.feature_size
+                tmpl = detr.init(jax.random.PRNGKey(0),
+                                 jnp.zeros((1, 64, 64, 3)),
+                                 jnp.ones((1, 64, 64), bool))
+                detr_params = flax.serialization.from_bytes(tmpl, f.read())
+        else:
+            print(f"WARNING: {ckpt} not found — using randomly initialized "
+                  f"DETR weights (convert the reference checkpoint with "
+                  f"models/weights.py for meaningful features)")
+            import jax.numpy as jnp
+            detr_params = detr.init(jax.random.PRNGKey(0),
+                                    jnp.zeros((1, 64, 64, 3)),
+                                    jnp.ones((1, 64, 64), bool))
+        featurize = make_detr_featurize_fn(cfg, detr, detr_params)
 
     run_mode = cfg.training.run_mode
     if run_mode in ("train", "train_cs"):
         from scene_graph_commonsense_tpu.train.loop import fit
         fit(cfg, model, params, train_fn, test_fn,
             steps_per_epoch=args.synthetic or 1000, artifacts=artifacts,
-            mesh=mesh)
+            mesh=mesh, featurize=featurize)
     elif run_mode in ("eval", "eval_cs"):
         from scene_graph_commonsense_tpu.eval import engines
         use_cs = run_mode == "eval_cs"
+        batches = test_fn(0)
+        if featurize is not None:
+            batches = map(featurize, batches)
         if cfg.training.eval_mode == "pc":
-            res = engines.run_eval_pc(cfg, model, params, test_fn(0),
+            res = engines.run_eval_pc(cfg, model, params, batches,
                                       artifacts=artifacts, use_cs=use_cs)
+        elif args.synthetic:
+            sys.exit("sgc/sgd need detector outputs; run on real data with "
+                     "a converted DETR checkpoint")
         else:
-            sys.exit("sgc/sgd need DETR detections; wire a converted "
-                     "checkpoint via eval.engines.make_detr_detect_fn")
+            detect_fn = engines.make_detr_detect_fn(cfg, detr, detr_params)
+            runner = (engines.run_eval_sgc if cfg.training.eval_mode ==
+                      "sgc" else engines.run_eval_sgd)
+            res = runner(cfg, model, params, batches, detect_fn,
+                         artifacts=artifacts, use_cs=use_cs)
         print(json.dumps({k: v for k, v in res.items()
                           if isinstance(v, (int, float, list))
                           and k != "recall_per_class"}, default=str))

@@ -97,6 +97,8 @@ class TrainConfig:
     lambda_commonsense: float = 1.0
     lambda_cs_weak: float = 0.1
     lambda_cs_strong: float = 10.0
+    # 0 = off (reference parity); >0 adds global-norm gradient clipping
+    grad_clip_norm: float = 0.0
     print_freq: int = 100
     eval_freq: int = 100
     print_freq_test: int = 20

@@ -41,6 +41,16 @@ def _np(tree):
     return jax.tree.map(np.asarray, tree)
 
 
+_MODEL_KEYS = ("features", "features_aug", "depth", "cats", "super_mh",
+               "boxes", "rel", "valid")
+
+
+def _model_batch(batch):
+    """Keeps only the jit-consumable arrays (drops annot paths, raw images,
+    pixel masks)."""
+    return {k: batch[k] for k in _MODEL_KEYS if batch.get(k) is not None}
+
+
 def _accumulate_batch(evaluator, ev3, cfg, out, batch, artifacts,
                       use_cs: bool, predcls: bool, cats, boxes,
                       cat_conf=None):
@@ -109,7 +119,7 @@ def run_eval_pc(cfg, model, params, batches: Iterable[Dict],
     for i, batch in enumerate(batches):
         if max_batches is not None and i >= max_batches:
             break
-        out = _np(estep(params, batch))
+        out = _np(estep(params, _model_batch(batch)))
         cand, tgt = _accumulate_batch(
             ev, ev3, cfg, out, batch, artifacts, use_cs, predcls=True,
             cats=np.asarray(batch["cats"]), boxes=np.asarray(batch["boxes"]))
@@ -161,7 +171,7 @@ def run_eval_sgc(cfg, model, params, batches: Iterable[Dict],
         cats, conf = match_predicted_labels(
             det, np.asarray(batch["boxes"]), np.asarray(batch["valid"]),
             cfg.model.feature_size)
-        run_batch = dict(batch)
+        run_batch = _model_batch(batch)
         run_batch["cats"] = cats
         if sub2super is not None:
             run_batch["super_mh"] = sub2super[cats].astype(np.float32)
@@ -191,7 +201,7 @@ def run_eval_sgd(cfg, model, params, batches: Iterable[Dict],
         if max_batches is not None and i >= max_batches:
             break
         det = _np(detect_fn(batch))
-        run_batch = dict(batch)
+        run_batch = _model_batch(batch)
         run_batch["cats"] = det["cats"]
         run_batch["boxes"] = det["boxes"]
         run_batch["valid"] = det["valid"]

@@ -85,3 +85,37 @@ def pair_pool_reference(a: jnp.ndarray, b: jnp.ndarray, si: jnp.ndarray,
     pooled = jax.lax.reduce_window(s, -jnp.inf, jax.lax.max,
                                    (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
     return jax.nn.relu(pooled)
+
+
+# ---------------------------------------------------------------------------
+# Differentiable wrapper (training path)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def pair_pool(a4, b4, si, oj, interpret: bool = False,
+              channel_tile: int = 0):
+    """Differentiable fused pair pool: the Pallas kernel forward with an
+    XLA backward (recompute winners + segment-add into the object streams).
+    Ties take the gradient on every maximal element — a measure-zero
+    difference from select-and-scatter's first-winner rule."""
+    return fused_pair_pool(a4, b4, si, oj, interpret=interpret,
+                           channel_tile=channel_tile)
+
+
+def _pair_pool_fwd(a4, b4, si, oj, interpret, channel_tile):
+    out = fused_pair_pool(a4, b4, si, oj, interpret=interpret,
+                          channel_tile=channel_tile)
+    return out, (a4, b4, si, oj, out)
+
+
+def _pair_pool_bwd(interpret, channel_tile, res, g):
+    a4, b4, si, oj, out = res
+    s = a4[si] + b4[oj]                       # (P, 4, h, h, C)
+    winner = (s == out[:, None]) & (out[:, None] > 0)
+    ds = g[:, None] * winner.astype(g.dtype)
+    da4 = jnp.zeros_like(a4).at[si].add(ds)
+    db4 = jnp.zeros_like(b4).at[oj].add(ds)
+    return da4, db4, None, None
+
+
+pair_pool.defvjp(_pair_pool_fwd, _pair_pool_bwd)

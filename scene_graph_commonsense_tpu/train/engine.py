@@ -44,13 +44,20 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(learning_rate, momentum: float = 0.9,
-                   weight_decay: float = 1e-4):
+                   weight_decay: float = 1e-4,
+                   grad_clip_norm: float = 0.0):
     """SGD + momentum with coupled weight decay, matching torch.optim.SGD
     semantics (reference train_test.py:100-101): grad += wd * param before
-    the momentum buffer update."""
-    return optax.chain(
-        optax.add_decayed_weights(weight_decay),
-        optax.sgd(learning_rate, momentum=momentum))
+    the momentum buffer update.  grad_clip_norm > 0 adds global-norm
+    clipping — a deviation from the reference that tames the unnormalized
+    SupCon term's gradient spikes (its 1/temperature-scaled dot products
+    over 512-d unnormalized hiddens can exceed 1e3)."""
+    steps = []
+    if grad_clip_norm > 0:
+        steps.append(optax.clip_by_global_norm(grad_clip_norm))
+    steps.append(optax.add_decayed_weights(weight_decay))
+    steps.append(optax.sgd(learning_rate, momentum=momentum))
+    return optax.chain(*steps)
 
 
 def _gather_streams(stream: jnp.ndarray, flat_idx: jnp.ndarray):
@@ -131,16 +138,18 @@ def forward_pairs(model: RelationClassifier, params, batch: Dict[str, Any],
         packed = pair_ops.pack_pairs(pair_ops.pair_validity(batch["valid"]),
                                      capacity)
     if use_pallas_pool:
-        # fused gather+add+maxpool+relu (ops.pallas.pair_pool); inference
-        # path only (no VJP defined)
+        # fused gather+add+maxpool+relu (ops.pallas.pair_pool); custom-VJP
+        # wrapper keeps the training path differentiable
         from scene_graph_commonsense_tpu.ops.pallas.pair_pool import (
-            fused_pair_pool, rearrange_pool_groups)
+            pair_pool, rearrange_pool_groups)
         a4 = rearrange_pool_groups(a)
         b4 = rearrange_pool_groups(bb)
-        pooled = fused_pair_pool(a4, b4, packed.flat_sub, packed.flat_obj,
-                                 interpret=pallas_interpret)
-        h = model.apply(params, pooled, deterministic,
-                        method=RelationClassifier.pair_trunk_from_pooled)
+        pooled = pair_pool(a4, b4, packed.flat_sub, packed.flat_obj,
+                           pallas_interpret, 0)
+        h = model.apply(
+            params, pooled, deterministic,
+            method=RelationClassifier.pair_trunk_from_pooled,
+            rngs={"dropout": rng_t} if rng_t is not None else None)
     else:
         h = _chunked_pair_trunk(model, params, a, bb, packed, chunk_size,
                                 deterministic, rng_t)
@@ -212,7 +221,8 @@ def compute_losses(model_cfg, train_cfg, out, packed, targets,
 def make_train_step(model: RelationClassifier, cfg, optimizer,
                     class_weights: np.ndarray, cs_tables=None,
                     mesh: Optional[Mesh] = None, chunk_size: int = 0,
-                    donate: bool = True):
+                    donate: bool = True, use_pallas_pool: bool = False,
+                    pallas_interpret: bool = False):
     """Builds the jitted train step.  With a mesh, wraps the local step in
     shard_map over the 'data' axis (batch-sharded inputs, replicated params,
     pmean gradients over ICI)."""
@@ -234,7 +244,9 @@ def make_train_step(model: RelationClassifier, cfg, optimizer,
             r1, r2 = jax.random.split(rng)
             out, packed = forward_pairs(
                 model, params, batch, local_capacity, view="features",
-                deterministic=False, dropout_rng=r1, chunk_size=chunk_size)
+                deterministic=False, dropout_rng=r1, chunk_size=chunk_size,
+                use_pallas_pool=use_pallas_pool,
+                pallas_interpret=pallas_interpret)
             targets = pair_targets(batch, packed)
 
             # Contrastive term: the SupCon loss only consumes CONNECTED
@@ -249,7 +261,9 @@ def make_train_step(model: RelationClassifier, cfg, optimizer,
                 out_aug, _ = forward_pairs(
                     model, params, batch, aug_capacity,
                     view="features_aug", deterministic=False,
-                    dropout_rng=r2, chunk_size=chunk_size, packed=packed_c)
+                    dropout_rng=r2, chunk_size=chunk_size, packed=packed_c,
+                    use_pallas_pool=use_pallas_pool,
+                    pallas_interpret=pallas_interpret)
                 pos, found = pair_ops.align_packings(packed, packed_c)
                 feats = jnp.stack([out["hidden"][pos], out_aug["hidden"]],
                                   axis=1)

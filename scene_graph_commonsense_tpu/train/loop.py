@@ -5,11 +5,12 @@ step-decay LR schedule (x0.1 at the scheduler epochs), per-epoch checkpoint,
 and a truncated PredCLS test pass after each epoch (100 batches for epochs
 < 2, reference train_test.py:347-348).
 
-Documented deviations (loop artifacts of the reference, see train.losses):
-no per-column dynamic LR (uniform pair weighting in the fixed grid makes the
-sqrt(live-fraction) modulation moot) and no train-time recall accumulation
-(test recall after each epoch reports the same quantity without holding the
-pair outputs alive through the backward pass).
+Train-time recall (reference train_utils.py:105-110) comes from a separate
+deterministic eval pass over the current batch at eval_freq instead of
+reusing the training forward's outputs (which would pin them through the
+backward pass).  Documented deviation (a loop artifact of the reference,
+see train.losses): no per-column dynamic LR — uniform pair weighting in the
+fixed grid makes the sqrt(live-fraction) modulation moot.
 """
 
 from __future__ import annotations
@@ -42,6 +43,31 @@ def lr_schedule(cfg, steps_per_epoch: int):
     return optax.piecewise_constant_schedule(base, boundaries)
 
 
+def make_detr_featurize_fn(cfg, detr_model, detr_params):
+    """Returns featurize(batch) -> batch with 'features' (and
+    'features_aug' when an augmented image view is present) computed by the
+    frozen DETR encoder (reference train_utils.py:9-18 run per batch under
+    no_grad)."""
+    from scene_graph_commonsense_tpu.models.detr import DETR
+
+    @jax.jit
+    def encode(images):
+        return detr_model.apply(detr_params, images,
+                                method=DETR.encode_features)
+
+    def featurize(batch):
+        batch = dict(batch)
+        if "features" not in batch and "image" in batch:
+            batch["features"] = encode(jnp.asarray(batch["image"]))
+        if "features_aug" not in batch and "image_aug" in batch:
+            batch["features_aug"] = encode(jnp.asarray(batch["image_aug"]))
+        batch.pop("image", None)
+        batch.pop("image_aug", None)
+        return batch
+
+    return featurize
+
+
 def fit(cfg, model, params, train_batches_fn: Callable[[int], Iterable],
         test_batches_fn: Optional[Callable[[int], Iterable]] = None,
         steps_per_epoch: int = 1000, artifacts=None, mesh=None,
@@ -51,7 +77,8 @@ def fit(cfg, model, params, train_batches_fn: Callable[[int], Iterable],
     tc = cfg.training
     opt = engine.make_optimizer(lr_schedule(cfg, steps_per_epoch),
                                 momentum=tc.momentum,
-                                weight_decay=tc.weight_decay)
+                                weight_decay=tc.weight_decay,
+                                grad_clip_norm=tc.grad_clip_norm)
     cs_tables = None
     if tc.run_mode == "train_cs":
         if artifacts is None or artifacts.cs_aligned is None:
@@ -74,6 +101,15 @@ def fit(cfg, model, params, train_batches_fn: Callable[[int], Iterable],
                                    fresh=not tc.continue_train)
     rng = jax.random.PRNGKey(tc.seed)
 
+    # train-time recall (reference accumulates Recall inside the train loop
+    # at eval_freq, reference train_utils.py:105-110): a deterministic eval
+    # pass over the current batch feeds a streaming evaluator
+    from scene_graph_commonsense_tpu.eval.builders import (
+        build_candidates, build_targets)
+    from scene_graph_commonsense_tpu.eval.engines import _make_evaluators
+    train_eval, _ = _make_evaluators(cfg, artifacts, predcls=True)
+    train_estep = engine.make_eval_step(model, cfg)
+
     for epoch in range(tc.start_epoch, tc.num_epoch):
         log_fn(f"Start Training... EPOCH {epoch} / {tc.num_epoch}")
         t0 = time.time()
@@ -85,13 +121,33 @@ def fit(cfg, model, params, train_batches_fn: Callable[[int], Iterable],
                 batch = shard_batch(mesh, batch)
             state, metrics = step(state, batch, rng)
 
+            recall = mean_recall = None
+            if tc.eval_freq > 0 and batch_count % tc.eval_freq == 0:
+                out = jax.tree.map(np.asarray,
+                                   train_estep(state.params, batch))
+                cand = build_candidates(
+                    out["relation"], out["connectivity"],
+                    out["super_relation"], out["pair_img"],
+                    out["pair_sub"], out["pair_obj"], out["pair_mask"],
+                    out["iou_ok"], np.asarray(batch["cats"]),
+                    np.asarray(batch["boxes"]),
+                    hierarchical=cfg.model.hierarchical_pred,
+                    num_geometric=cfg.model.num_geometric,
+                    num_possessive=cfg.model.num_possessive)
+                tgt = build_targets(
+                    np.asarray(batch["rel"]), np.asarray(batch["cats"]),
+                    np.asarray(batch["boxes"]), np.asarray(batch["valid"]))
+                train_eval.accumulate(cand, tgt)
+                res = train_eval.compute()
+                recall, mean_recall = res["recall"], res["mean_recall"]
+
             if (batch_count % tc.print_freq == 0):
                 metrics = jax.tree.map(float, metrics)
                 lr = float(lr_schedule(cfg, steps_per_epoch)(
                     int(state.step)))
                 imgs = (batch_count + 1) * tc.batch_size
-                line = format_train_line(epoch, batch_count, lr, None, None,
-                                         losses=metrics)
+                line = format_train_line(epoch, batch_count, lr, recall,
+                                         mean_recall, losses=metrics)
                 log_fn(f"{line}, {imgs / (time.time() - t0):.1f} img/s")
                 recorder.add({"epoch": epoch, "batch": batch_count,
                               "lr": lr, **metrics})

@@ -55,3 +55,31 @@ def test_eval_step_pallas_path_matches_xla(rng):
     np.testing.assert_allclose(out_p["connectivity"], out_x["connectivity"],
                                atol=1e-4)
     np.testing.assert_array_equal(out_p["pair_mask"], out_x["pair_mask"])
+
+
+def test_pair_pool_gradients_match_xla(rng):
+    """Custom-VJP backward of the fused kernel vs XLA autodiff."""
+    from scene_graph_commonsense_tpu.ops.pallas.pair_pool import pair_pool
+    m, s, c, p = 4, 8, 128, 6
+    a = jnp.asarray(rng.standard_normal((m, s, s, c)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((m, s, s, c)).astype(np.float32))
+    si = jnp.asarray(rng.integers(0, m, p), jnp.int32)
+    oj = jnp.asarray(rng.integers(0, m, p), jnp.int32)
+
+    def loss_pl(a, b):
+        a4 = rearrange_pool_groups(a)
+        b4 = rearrange_pool_groups(b)
+        out = pair_pool(a4, b4, si, oj, True, 0)
+        return (out ** 2).sum()
+
+    def loss_ref(a, b):
+        return (pair_pool_reference(a, b, si, oj) ** 2).sum()
+
+    # jax.grad differentiates through rearrange_pool_groups too, so both
+    # gradients live in the original (M, S, S, C) layout
+    ga_pl, gb_pl = jax.grad(loss_pl, argnums=(0, 1))(a, b)
+    ga_rf, gb_rf = jax.grad(loss_ref, argnums=(0, 1))(a, b)
+    np.testing.assert_allclose(np.asarray(ga_pl), np.asarray(ga_rf),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb_pl), np.asarray(gb_rf),
+                               atol=1e-5)
