@@ -178,8 +178,24 @@ def main():
         if featurize is not None:
             batches = map(featurize, batches)
         if cfg.training.eval_mode == "pc":
+            on_batch = None
+            if cfg.training.save_vis_results:
+                from scene_graph_commonsense_tpu.eval.visualization import (
+                    save_visualization_results)
+                s = cfg.model.image_size
+
+                def on_batch(i, out, cand, tgt):
+                    save_visualization_results(
+                        os.path.join(cfg.training.result_path,
+                                     "visualization"),
+                        i, cand, tgt,
+                        heights=[s] * cfg.training.batch_size,
+                        widths=[s] * cfg.training.batch_size,
+                        feature_size=cfg.model.feature_size)
+
             res = engines.run_eval_pc(cfg, model, params, batches,
-                                      artifacts=artifacts, use_cs=use_cs)
+                                      artifacts=artifacts, use_cs=use_cs,
+                                      on_batch=on_batch)
         elif args.synthetic:
             sys.exit("sgc/sgd need detector outputs; run on real data with "
                      "a converted DETR checkpoint")

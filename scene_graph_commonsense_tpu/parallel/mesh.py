@@ -58,3 +58,21 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
 def replicate_tree(mesh: Mesh, tree):
     rep = replicate(mesh)
     return jax.tree.map(lambda a: jax.device_put(a, rep), tree)
+
+
+def init_multihost(coordinator_address=None, num_processes=None,
+                   process_id=None) -> int:
+    """Initializes multi-host JAX (DCN across hosts; ICI within a slice).
+
+    Replaces the reference's gloo process-group rendezvous (reference
+    train_test.py:25-28).  No-op when single-process (env vars absent and no
+    explicit coordinator).  Returns the process index.
+    """
+    import os
+    if coordinator_address is None and "JAX_COORDINATOR_ADDRESS" not in \
+            os.environ and num_processes is None:
+        return jax.process_index() if jax.process_count() > 1 else 0
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return jax.process_index()

@@ -162,8 +162,10 @@ def fit(cfg, model, params, train_batches_fn: Callable[[int], Iterable],
 
         if test_batches_fn is not None:
             max_batches = 100 if epoch < 2 else None  # train_test.py:347
-            res = run_eval_pc(cfg, model, state.params,
-                              map(_strip_paths, test_batches_fn(epoch)),
+            test_batches = map(_strip_paths, test_batches_fn(epoch))
+            if featurize is not None:
+                test_batches = map(featurize, test_batches)
+            res = run_eval_pc(cfg, model, state.params, test_batches,
                               artifacts=artifacts, max_batches=max_batches)
             log_fn(format_test_line(epoch, res["recall"],
                                     res["mean_recall"],

@@ -188,3 +188,53 @@ def test_prepare_cs_end_to_end(tmp_path, rng):
         "features_aug": batches[0]["features"]}, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss_commonsense"]))
     assert float(metrics["loss_commonsense"]) > 0
+
+
+def test_query_edges_vision(tmp_path, rng):
+    """GPT-4V path: union-box crop + single CoT yes/no query (reference
+    query_llm.py:193-257)."""
+    from PIL import Image
+    from scene_graph_commonsense_tpu.commonsense.cache import ImageCache
+    from scene_graph_commonsense_tpu.commonsense.client import (
+        query_edges_vision)
+
+    img_path = str(tmp_path / "scene.jpg")
+    Image.fromarray(
+        rng.integers(0, 255, (64, 48, 3), dtype=np.uint8)).save(img_path)
+
+    prompts_seen = []
+
+    def transport(prompts):
+        prompts_seen.extend(prompts)
+        return ["Let's see... Yes" if "man riding horse" in p else
+                "I think No" for p in prompts]
+
+    cache = ImageCache(image_size=64, feature_size=2)
+    votes = query_edges_vision(
+        ["man riding horse", "rock eating cloud"], img_path,
+        sub_boxes=[np.array([0, 10, 0, 10]), np.array([2, 8, 2, 8])],
+        obj_boxes=[np.array([5, 20, 5, 20]), np.array([1, 4, 1, 4])],
+        image_cache=cache, transport=transport)
+    assert votes == [1, -1]
+    assert len(prompts_seen) == 2
+    assert "<image:" in prompts_seen[0]
+    # missing image -> automatic rejection
+    votes2 = query_edges_vision(
+        ["man riding horse"], str(tmp_path / "missing.jpg"),
+        sub_boxes=[np.array([0, 10, 0, 10])],
+        obj_boxes=[np.array([5, 20, 5, 20])],
+        image_cache=cache, transport=transport)
+    assert votes2 == [-1]
+
+
+def test_image_cache_crop(tmp_path, rng):
+    from PIL import Image
+    from scene_graph_commonsense_tpu.commonsense.cache import ImageCache
+    img_path = str(tmp_path / "img.jpg")
+    Image.fromarray(
+        rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)).save(img_path)
+    cache = ImageCache(image_size=32, feature_size=32)
+    b64 = cache.get_image(img_path, bbox=[4, 20, 4, 20])
+    assert isinstance(b64, str) and len(b64) > 0
+    # cached (same key returns identical string without re-reading)
+    assert cache.get_image(img_path) is b64

@@ -208,3 +208,35 @@ def test_wears_merge(tmp_path):
     ex = ds.get_example(0)
     assert ex is not None
     assert ex["rel"][1, 0] == REL_FREQ2SCAT[4]    # 'wearing' slot (23)
+
+
+def test_reference_pkl_interop(tmp_path):
+    """The loader consumes the reference's torch-pickled per-image
+    annotation format directly (reference dataloader.py:71-74)."""
+    import torch
+    from scene_graph_commonsense_tpu.config import derive
+    from scene_graph_commonsense_tpu.data.dataset import VGDataset
+
+    rec = {
+        "image_depth": torch.rand(1, 32, 32),
+        "categories": torch.tensor([4, 9, 2]),
+        "super_categories": [torch.tensor([1]), torch.tensor([0, 2]),
+                             torch.tensor([5])],
+        "bbox": torch.tensor([[0., 12., 0., 12.], [4., 20., 4., 20.],
+                              [1., 6., 1., 6.]]),
+        "relationships": [torch.tensor([8]), torch.tensor([-1, 20])],
+        "subj_or_obj": [torch.tensor([1.0]), torch.tensor([-1.0, 0.0])],
+    }
+    torch.save(rec, tmp_path / "ref_annotations.pkl")
+    cfg = derive("vg", data={"annot_dir": str(tmp_path)})
+    ds = VGDataset(cfg, {"images": [{"file_name": "ref.jpg"}]},
+                   training=True, load_images=False)
+    ex = ds.get_example(0)
+    assert ex is not None
+    np.testing.assert_array_equal(ex["cats"][:3], [4, 9, 2])
+    from scene_graph_commonsense_tpu.constants import REL_FREQ2SCAT
+    # rel 8 with direction 1: object 1 is subject of object 0
+    assert ex["rel"][1, 0] == REL_FREQ2SCAT[8]
+    # rel 20 with direction 0: object 1 is subject of object 2
+    assert ex["rel"][1, 2] == REL_FREQ2SCAT[20]
+    assert ex["super_mh"][1, 0] == 1 and ex["super_mh"][1, 2] == 1
