@@ -1,0 +1,92 @@
+"""Host-side input pipeline: prefetching + native packing + device overlap.
+
+The reference loads with num_workers=0 (reference train_test.py:52) — data
+prep serializes with GPU compute.  Here a small background thread pool keeps
+`prefetch` batches in flight (optionally assembled by the C++ packer,
+data/native) and transfers them to device asynchronously so host work
+overlaps the TPU step.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Dict, Iterable, Iterator, Optional, Sequence
+
+import numpy as np
+
+
+def prefetch_iterator(batches: Iterable[Dict], prefetch: int = 2,
+                      transform: Optional[Callable[[Dict], Dict]] = None
+                      ) -> Iterator[Dict]:
+    """Runs the batch source (and an optional transform, e.g. device_put or
+    featurize) on a background thread, keeping `prefetch` batches ready."""
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    done = object()
+    err_box = []
+
+    def producer():
+        try:
+            for b in batches:
+                q.put(transform(b) if transform is not None else b)
+        except BaseException as e:   # surface worker errors to the consumer
+            err_box.append(e)
+        finally:
+            q.put(done)
+
+    t = threading.Thread(target=producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is done:
+            if err_box:
+                raise err_box[0]
+            return
+        yield item
+
+
+class NativeRecordPipeline:
+    """SGRC record files -> padded device-ready batches via the C++ packer.
+
+    `paths` is the record list (one file per image); batches are assembled
+    with sgc_pack_batch's thread pool, under-filled slots (rejected records)
+    are dropped and the batch refilled from the tail to keep shapes static.
+    """
+
+    def __init__(self, paths: Sequence[str], batch_size: int,
+                 max_objects: int = 20, feature_size: int = 32,
+                 num_super: int = 17, num_threads: int = 8,
+                 seed: int = 0, shuffle: bool = True):
+        from scene_graph_commonsense_tpu.data.native import NativeBatchPacker
+        self.packer = NativeBatchPacker(max_objects, feature_size,
+                                        num_super, num_threads)
+        self.paths = list(paths)
+        self.batch_size = batch_size
+        self.seed = seed
+        self.shuffle = shuffle
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = np.arange(len(self.paths))
+        if self.shuffle:
+            np.random.default_rng(self.seed).shuffle(order)
+        pending = [self.paths[i] for i in order]
+        buf: list = []
+        cursor = 0
+        while cursor < len(pending) or len(buf) >= self.batch_size:
+            while len(buf) < self.batch_size and cursor < len(pending):
+                take = self.batch_size - len(buf)
+                chunk = pending[cursor:cursor + take]
+                cursor += take
+                out = self.packer.pack(chunk)
+                for k in range(len(chunk)):
+                    if out["ok"][k]:
+                        buf.append({key: out[key][k] for key in
+                                    ("cats", "boxes", "rel", "valid",
+                                     "super_mh", "depth")})
+            if len(buf) >= self.batch_size:
+                batch = {k: np.stack([ex[k] for ex in buf[:self.batch_size]])
+                         for k in buf[0]}
+                buf = buf[self.batch_size:]
+                yield batch
+            else:
+                break
