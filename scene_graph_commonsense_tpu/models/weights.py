@@ -134,3 +134,87 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
     state = ckpt.get("model", ckpt)
     return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
             for k, v in state.items()}
+
+
+# ---------------------------------------------------------------------------
+# Relation-head checkpoint conversion
+# ---------------------------------------------------------------------------
+
+def strip_ddp_prefix(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Removes DDP's 'module.' prefixes (reference utils.py:207-214)."""
+    return {k.replace("module.", ""): v for k, v in state.items()}
+
+
+def convert_relation_state_dict(state: Mapping[str, np.ndarray],
+                                hierarchical: bool = True,
+                                use_super: bool = True,
+                                num_classes: int = 150,
+                                num_super_classes: int = 17,
+                                hidden_dim: int = 128,
+                                feature_size: int = 32) -> Dict:
+    """Reference relation-classifier checkpoint -> factored Flax params.
+
+    Maps the reference's BayesianRelationClassifier / FlatRelationClassifier
+    tensors (reference model.py:105-186) onto this framework's factored
+    layout (models/relation_head.py):
+
+      * conv1_1 / conv1_2        -> conv1_sub / conv1_obj (OIHW -> HWIO);
+      * conv2_1 splits along its input channels into conv2_sub (subject
+        half, no bias) + conv2_obj (object half, carries the bias);
+      * fc1 rows permute from the torch NCHW flatten order (c, y, x) to the
+        NHWC flatten order (y, x, c);
+      * fc2 rows split into fc2_h (hidden), emb_c1/emb_c2 (one-hot class
+        blocks become embedding tables), fc2_s1/fc2_s2 (super multi-hots);
+      * heads (fc3*, fc4, fc5) transpose as plain Dense kernels.
+    """
+    state = strip_ddp_prefix({k: np.asarray(v) for k, v in state.items()})
+    h = hidden_dim
+    p: Dict = {}
+
+    p["conv1_sub"] = {"kernel": _conv(state["conv1_1.weight"]),
+                      "bias": np.asarray(state["conv1_1.bias"])}
+    p["conv1_obj"] = {"kernel": _conv(state["conv1_2.weight"]),
+                      "bias": np.asarray(state["conv1_2.bias"])}
+    k2 = _conv(state["conv2_1.weight"])          # (3, 3, 2h, 4h)
+    p["conv2_sub"] = {"kernel": k2[:, :, :h, :]}
+    p["conv2_obj"] = {"kernel": k2[:, :, h:, :],
+                      "bias": np.asarray(state["conv2_1.bias"])}
+    p["conv3"] = {"kernel": _conv(state["conv3_1.weight"]),
+                  "bias": np.asarray(state["conv3_1.bias"])}
+
+    # fc1: torch flattens (C=8h, y=S/4, x=S/4) C-major; NHWC flattens
+    # (y, x, C) -> permute input rows
+    w1 = _dense(state["fc1.weight"])             # (8h*(S/4)^2, 4096)
+    c8, sp = 8 * h, feature_size // 4
+    w1 = w1.reshape(c8, sp, sp, -1).transpose(1, 2, 0, 3).reshape(
+        c8 * sp * sp, -1)
+    p["fc1"] = {"kernel": w1, "bias": np.asarray(state["fc1.bias"])}
+
+    # fc2: rows [hidden(4096) | onehot c1 | onehot c2 | super1 | super2]
+    w2 = _dense(state["fc2.weight"])
+    off = 4096
+    p["fc2_h"] = {"kernel": w2[:off], "bias": np.asarray(state["fc2.bias"])}
+    p["emb_c1"] = {"embedding": w2[off:off + num_classes]}
+    off += num_classes
+    p["emb_c2"] = {"embedding": w2[off:off + num_classes]}
+    off += num_classes
+    if use_super:
+        p["fc2_s1"] = {"kernel": w2[off:off + num_super_classes]}
+        off += num_super_classes
+        p["fc2_s2"] = {"kernel": w2[off:off + num_super_classes]}
+        off += num_super_classes
+    assert off == w2.shape[0], (off, w2.shape)
+
+    def dense(name, src):
+        p[name] = {"kernel": _dense(state[f"{src}.weight"]),
+                   "bias": np.asarray(state[f"{src}.bias"])}
+
+    dense("fc4", "fc4")
+    if hierarchical:
+        dense("fc3_1", "fc3_1")
+        dense("fc3_2", "fc3_2")
+        dense("fc3_3", "fc3_3")
+        dense("fc5", "fc5")
+    else:
+        dense("fc3", "fc3")
+    return {"params": p}
