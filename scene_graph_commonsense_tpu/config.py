@@ -109,6 +109,14 @@ class TrainConfig:
     # worst case" = batch_size * max_objects * (max_objects - 1).
     pair_capacity: int = 0
     seed: int = 0
+    # Observability (SURVEY.md §5).  TensorBoard scalars mirror the
+    # reference's tag set (train_test.py:279-285); profile_start_step >= 0
+    # opens a jax.profiler trace window of profile_num_steps steps.
+    tensorboard: bool = False
+    tensorboard_dir: str = "results/tb"
+    profile_dir: str = ""
+    profile_start_step: int = -1
+    profile_num_steps: int = 5
 
 
 @dataclass(frozen=True)

@@ -32,6 +32,8 @@ from scene_graph_commonsense_tpu.train import checkpoint as ckpt_lib
 from scene_graph_commonsense_tpu.train import engine
 from scene_graph_commonsense_tpu.utils.logging import (
     ResultRecorder, format_train_line, format_test_line)
+from scene_graph_commonsense_tpu.utils.profiling import (
+    ScalarWriter, StepProfiler, StepTimer)
 
 
 def lr_schedule(cfg, steps_per_epoch: int):
@@ -99,6 +101,10 @@ def fit(cfg, model, params, train_batches_fn: Callable[[int], Iterable],
                               fresh=not tc.continue_train)
     test_recorder = ResultRecorder(tc.result_path, "test_results",
                                    fresh=not tc.continue_train)
+    writer = ScalarWriter(tc.tensorboard_dir, enabled=tc.tensorboard)
+    profiler = StepProfiler(tc.profile_dir, tc.profile_start_step,
+                            tc.profile_num_steps)
+    timer = StepTimer()
     rng = jax.random.PRNGKey(tc.seed)
 
     # train-time recall (reference accumulates Recall inside the train loop
@@ -119,7 +125,9 @@ def fit(cfg, model, params, train_batches_fn: Callable[[int], Iterable],
             batch.pop("annot_path", None)
             if mesh is not None:
                 batch = shard_batch(mesh, batch)
+            profiler.step(int(state.step))
             state, metrics = step(state, batch, rng)
+            timer.tick()
 
             recall = mean_recall = None
             if tc.eval_freq > 0 and batch_count % tc.eval_freq == 0:
@@ -151,6 +159,12 @@ def fit(cfg, model, params, train_batches_fn: Callable[[int], Iterable],
                 log_fn(f"{line}, {imgs / (time.time() - t0):.1f} img/s")
                 recorder.add({"epoch": epoch, "batch": batch_count,
                               "lr": lr, **metrics})
+                # TensorBoard scalar tag set mirrors reference
+                # train_test.py:279-285 (the 5 loss terms + lr + timing)
+                writer.scalars(metrics, int(state.step), prefix="train/")
+                writer.scalar("train/lr", lr, int(state.step))
+                writer.scalars(timer.summary(tc.batch_size),
+                               int(state.step), prefix="perf/")
 
         # per-epoch checkpoint (reference train_test.py:311-322)
         name = ckpt_lib.checkpoint_name(
@@ -174,6 +188,13 @@ def fit(cfg, model, params, train_batches_fn: Callable[[int], Iterable],
                                "recall": list(map(float, res["recall"])),
                                "mean_recall": list(map(float,
                                                        res["mean_recall"]))})
+            # test R@k scalars (reference train_test.py:446-450)
+            for k, r in zip((20, 50, 100), res["recall"]):
+                writer.scalar(f"test/R@{k}", r, epoch)
+            for k, r in zip((20, 50, 100), res["mean_recall"]):
+                writer.scalar(f"test/mR@{k}", r, epoch)
+    profiler.close()
+    writer.close()
     return state
 
 
