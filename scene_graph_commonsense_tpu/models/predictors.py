@@ -1,0 +1,162 @@
+"""Plug-and-play hierarchical predictors: Motifs / Transformer / VCTree.
+
+The reference demonstrates its hierarchy + commonsense methods by grafting
+BayesHead onto Scene-Graph-Benchmark predictors (MotifHierarchicalPredictor
+etc., reference README_PLUGANDPLAY.md:56-130).  This module is that
+demonstration for the TPU framework: each predictor couples one of the
+context encoders of models/context.py with
+
+  pair hidden  h_p = W_s(ctx[sub]) * W_o(ctx[obj]) * W_u(union)     (Motifs'
+               post-composition: elementwise product of projected subject /
+               object contexts and the union visual feature)
+  outputs      (rel1, rel2, rel3, super) — per-branch joint log-probs from
+               a BayesHead, optionally shifted by a learned frequency-bias
+               table over (sub_label, obj_label) pairs (Motifs' freq prior).
+
+Outputs are flattened over (B·P,) pairs and plug directly into
+plugandplay.hierarchical_relation_loss / hierarchical_postprocess, so the
+whole stack mirrors "copy model_motifs_hierarchical.py, register
+MotifHierarchicalPredictor" from the reference recipe.
+
+Frequency bias composition: the flat SGB models add the (sub,obj)->rel
+log-frequency to the predicate logits.  Here predicates partition into the
+three super-category branches (constants.VG_RELATIONS_BY_SUPER ordering:
+15 geometric | 11 possessive | 24 semantic), so the bias row splits into
+per-branch segments added to the branch logits before their softmax, and
+each segment's logsumexp is added to the super-category logits — making the
+composed joint exactly softmax(head_logits + bias) marginalized the
+hierarchical way.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from scene_graph_commonsense_tpu.models.context import (
+    MotifsContext, TransformerContext, VCTreeContext)
+
+
+class FrequencyBias(nn.Module):
+    """Learned (sub_label, obj_label) -> predicate-logit table (Motifs'
+    frequency baseline).  Initialize from data statistics by overwriting
+    params['freq']['table']['embedding'] with log(P(rel|sub,obj)+eps)."""
+    num_classes: int = 150
+    num_relations: int = 50
+
+    @nn.compact
+    def __call__(self, sub_labels, obj_labels):
+        c = self.num_classes + 1
+        idx = (jnp.clip(sub_labels + 1, 0, self.num_classes) * c
+               + jnp.clip(obj_labels + 1, 0, self.num_classes))
+        return nn.Embed(c * c, self.num_relations, name="table",
+                        embedding_init=nn.initializers.zeros)(idx)
+
+
+class BiasedBayesHead(nn.Module):
+    """BayesHead (reference model.py:9-34 semantics) accepting an additive
+    per-predicate bias row, split across the three branch segments (see
+    module docstring for the composition rule)."""
+    num_geometric: int = 15
+    num_possessive: int = 11
+    num_semantic: int = 24
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, h, bias: Optional[jnp.ndarray] = None):
+        ng, npos = self.num_geometric, self.num_possessive
+        sup_logits = nn.Dense(3, dtype=self.dtype, name="fc5")(
+            h).astype(jnp.float32)
+        sizes = [ng, npos, self.num_semantic]
+        segs = (None, None, None) if bias is None else (
+            bias[:, :ng], bias[:, ng:ng + npos], bias[:, ng + npos:])
+        if bias is not None:
+            sup_logits = sup_logits + jnp.stack(
+                [jax.nn.logsumexp(s, axis=1) for s in segs], axis=1)
+        sup = nn.log_softmax(sup_logits)
+        branches = []
+        for i, n in enumerate(sizes):
+            logits = nn.Dense(n, dtype=self.dtype, name=f"fc3_{i + 1}")(
+                h).astype(jnp.float32)
+            if segs[i] is not None:
+                logits = logits + segs[i]
+            branches.append(nn.log_softmax(logits) + sup[:, i:i + 1])
+        return branches[0], branches[1], branches[2], sup
+
+
+_CONTEXTS = {"motifs": MotifsContext, "transformer": TransformerContext,
+             "vctree": VCTreeContext}
+
+
+class HierarchicalPredictor(nn.Module):
+    """Context encoder + Motifs pair composition + (biased) BayesHead.
+
+    family: 'motifs' | 'transformer' | 'vctree'.
+
+    __call__(feats (B,N,D), boxes (B,N,4), labels (B,N) int,
+             valid (B,N) bool, pair_sub (B,P), pair_obj (B,P),
+             pair_mask (B,P), union_feats (B,P,Du) or None)
+      -> dict(rel1/rel2/rel3/super_relation over (B·P,), obj_logits
+              (B,N,C), pair_mask (B·P,))
+    """
+    family: str = "motifs"
+    hidden_dim: int = 256
+    pair_dim: int = 512
+    num_classes: int = 150
+    num_geometric: int = 15
+    num_possessive: int = 11
+    num_semantic: int = 24
+    mode: str = "predcls"
+    use_freq_bias: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, boxes, labels, valid, pair_sub, pair_obj,
+                 pair_mask, union_feats=None):
+        if self.family not in _CONTEXTS:
+            raise ValueError(f"unknown context family {self.family!r}; "
+                             f"expected one of {sorted(_CONTEXTS)}")
+        ctx_cls = _CONTEXTS[self.family]
+        ctx, obj_logits = ctx_cls(
+            hidden_dim=self.hidden_dim, num_classes=self.num_classes,
+            mode=self.mode, dtype=self.dtype, name="context")(
+            feats, boxes, labels, valid)
+
+        take = jax.vmap(lambda c, i: c[i])     # (B,N,D),(B,P) -> (B,P,D)
+        sub_rep = nn.Dense(self.pair_dim, dtype=self.dtype, name="post_sub")(
+            take(ctx, pair_sub))
+        obj_rep = nn.Dense(self.pair_dim, dtype=self.dtype, name="post_obj")(
+            take(ctx, pair_obj))
+        h = sub_rep * obj_rep
+        if union_feats is not None:
+            h = h * nn.Dense(self.pair_dim, dtype=self.dtype,
+                             name="post_union")(
+                union_feats.astype(self.dtype))
+        # the triple elementwise product compounds scale; normalize before
+        # the classifier MLP (fuses into the surrounding GEMMs under XLA)
+        h = nn.LayerNorm(name="pair_norm")(h)
+        h = nn.relu(nn.Dense(self.pair_dim, dtype=self.dtype,
+                             name="pair_mlp")(h))
+        h = h.reshape(-1, self.pair_dim)
+
+        bias = None
+        if self.use_freq_bias:
+            nr = (self.num_geometric + self.num_possessive
+                  + self.num_semantic)
+            if self.mode == "predcls":
+                ls, lo = take(labels, pair_sub), take(labels, pair_obj)
+            else:
+                dec = jnp.argmax(obj_logits, axis=-1)
+                ls, lo = take(dec, pair_sub), take(dec, pair_obj)
+            bias = FrequencyBias(self.num_classes, nr, name="freq")(
+                ls.reshape(-1), lo.reshape(-1))
+
+        r1, r2, r3, sup = BiasedBayesHead(
+            self.num_geometric, self.num_possessive, self.num_semantic,
+            dtype=self.dtype, name="head")(h, bias)
+        return {"rel1": r1, "rel2": r2, "rel3": r3, "super_relation": sup,
+                "obj_logits": obj_logits,
+                "pair_mask": pair_mask.reshape(-1)}
