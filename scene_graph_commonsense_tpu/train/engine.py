@@ -221,11 +221,16 @@ def compute_losses(model_cfg, train_cfg, out, packed, targets,
 def make_train_step(model: RelationClassifier, cfg, optimizer,
                     class_weights: np.ndarray, cs_tables=None,
                     mesh: Optional[Mesh] = None, chunk_size: int = 0,
-                    donate: bool = True, use_pallas_pool: bool = False,
+                    donate: bool = True,
+                    use_pallas_pool: Optional[bool] = None,
                     pallas_interpret: bool = False):
     """Builds the jitted train step.  With a mesh, wraps the local step in
     shard_map over the 'data' axis (batch-sharded inputs, replicated params,
-    pmean gradients over ICI)."""
+    pmean gradients over ICI).  The fused Pallas pair-assembly kernel (with
+    its matmul-scatter backward) is used automatically on TPU backends,
+    like make_eval_step."""
+    if use_pallas_pool is None:
+        use_pallas_pool = jax.devices()[0].platform not in ("cpu", "gpu")
     capacity = cfg.pair_capacity
     weights = jnp.asarray(class_weights)
     shards = 1 if mesh is None else mesh.shape["data"]

@@ -1,0 +1,98 @@
+"""Capture a jax.profiler trace of the bench train step and print the
+top-k ops by self time (reads the perfetto trace.json.gz directly).
+
+Usage: python tools/profile_step.py [outdir]
+"""
+
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def run_trace(outdir: str):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scene_graph_commonsense_tpu.config import derive
+    from scene_graph_commonsense_tpu.constants import class_weights
+    from scene_graph_commonsense_tpu.data.synthetic import synthetic_batch
+    from scene_graph_commonsense_tpu.models.relation_head import (
+        make_relation_classifier)
+    from scene_graph_commonsense_tpu.train import engine
+
+    import bench
+
+    cfg = derive("vg", hierarchical_pred=True,
+                 training={"batch_size": bench.BATCH_SIZE,
+                           "pair_capacity": bench.PAIR_CAPACITY})
+    model = make_relation_classifier(cfg)
+    s = cfg.model.feature_size
+    x0 = jnp.zeros((2, s, s, cfg.model.num_img_feature + 1))
+    c0 = jnp.zeros(2, jnp.int32)
+    s0 = jnp.zeros((2, cfg.model.num_super_classes))
+    params = model.init(jax.random.PRNGKey(0), x0, x0, c0, c0, s0, s0)
+    opt = engine.make_optimizer(cfg.training.learning_rate,
+                                grad_clip_norm=5.0)
+    step = engine.make_train_step(model, cfg, opt, class_weights("vg"),
+                                  chunk_size=bench.CHUNK,
+                                  use_pallas_pool=True)
+    state = engine.TrainState(params, opt.init(params), jnp.int32(0))
+    rng = np.random.default_rng(0)
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(
+        rng, batch_size=bench.BATCH_SIZE, max_objects=cfg.data.max_objects,
+        feature_size=s, num_channels=cfg.model.num_img_feature,
+        mean_objects=8.0).items()}
+    key = jax.random.PRNGKey(0)
+    for _ in range(3):
+        state, metrics = step(state, batch, key)
+    jax.block_until_ready(metrics["loss"])
+    with jax.profiler.trace(outdir):
+        for _ in range(3):
+            state, metrics = step(state, batch, key)
+        jax.block_until_ready(metrics["loss"])
+
+
+def summarize(outdir: str, top: int = 30):
+    paths = sorted(glob.glob(f"{outdir}/**/*.trace.json.gz",
+                             recursive=True))
+    if not paths:
+        print("no trace found under", outdir)
+        return
+    with gzip.open(paths[-1], "rt") as f:
+        trace = json.load(f)
+    # keep only device-track complete events (TPU op activity)
+    pid_names = {}
+    for ev in trace["traceEvents"]:
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            pid_names[ev["pid"]] = ev["args"].get("name", "")
+    durs = defaultdict(float)
+    counts = defaultdict(int)
+    total = 0.0
+    for ev in trace["traceEvents"]:
+        if ev.get("ph") != "X":
+            continue
+        pname = pid_names.get(ev.get("pid"), "")
+        if "TPU" not in pname and "Device" not in pname:
+            continue
+        name = ev.get("name", "?")
+        dur = ev.get("dur", 0) / 1e3  # us -> ms
+        durs[name] += dur
+        counts[name] += 1
+        total += dur
+    print(f"total device op time {total:.1f} ms over "
+          f"{sum(counts.values())} events (3 steps)")
+    for name, d in sorted(durs.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{d:9.2f} ms {counts[name]:5d}x  {name[:100]}")
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sgc_trace"
+    run_trace(out)
+    summarize(out)
