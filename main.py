@@ -32,6 +32,11 @@ def parse_args():
     ap.add_argument("--config", default=None, help="optional YAML config")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="run on N synthetic batches instead of real data")
+    ap.add_argument("--predictor", default=None,
+                    choices=["motifs", "transformer", "vctree"],
+                    help="train/eval a plug-and-play predictor family "
+                         "(context model + hierarchical head) instead of "
+                         "the flagship relation classifier")
     ap.add_argument("--batch_size", type=int, default=None)
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--mesh_data", type=int, default=-1,
@@ -166,6 +171,26 @@ def main():
         featurize = make_detr_featurize_fn(cfg, detr, detr_params)
 
     run_mode = cfg.training.run_mode
+    if args.predictor:
+        # plug-and-play model families (BASELINE config 5): Motifs /
+        # Transformer / VCTree context + hierarchical head end-to-end
+        from scene_graph_commonsense_tpu.train import pnp_engine
+        if run_mode in ("train", "train_cs"):
+            pnp_engine.fit_predictor(cfg, args.predictor, train_fn,
+                                     test_fn, artifacts=artifacts,
+                                     featurize=featurize)
+        elif run_mode in ("eval", "eval_cs"):
+            predictor = pnp_engine.make_predictor(cfg, args.predictor)
+            p = pnp_engine.init_predictor_params(cfg, predictor)
+            res = pnp_engine.run_eval_pc_predictor(
+                cfg, predictor, p, test_fn(0), artifacts=artifacts,
+                featurize=featurize)
+            print(json.dumps({k: v for k, v in res.items()
+                              if isinstance(v, (int, float, list))
+                              and k != "recall_per_class"}, default=str))
+        else:
+            sys.exit(f"--predictor does not support run_mode {run_mode}")
+        return
     if run_mode in ("train", "train_cs"):
         from scene_graph_commonsense_tpu.train.loop import fit
         fit(cfg, model, params, train_fn, test_fn,

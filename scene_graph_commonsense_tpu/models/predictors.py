@@ -157,6 +157,11 @@ class HierarchicalPredictor(nn.Module):
         r1, r2, r3, sup = BiasedBayesHead(
             self.num_geometric, self.num_possessive, self.num_semantic,
             dtype=self.dtype, name="head")(h, bias)
+        # relatedness head (this framework's connectivity term; SGB models
+        # carry the equivalent signal as a background predicate class)
+        conn = nn.Dense(1, dtype=self.dtype, name="rel_conf")(
+            h)[:, 0].astype(jnp.float32)
         return {"rel1": r1, "rel2": r2, "rel3": r3, "super_relation": sup,
-                "obj_logits": obj_logits,
+                "relation": jnp.concatenate([r1, r2, r3], axis=1),
+                "connectivity": conn, "obj_logits": obj_logits,
                 "pair_mask": pair_mask.reshape(-1)}

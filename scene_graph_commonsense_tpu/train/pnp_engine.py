@@ -1,0 +1,249 @@
+"""End-to-end engine for the plug-and-play predictor families.
+
+Makes BASELINE config 5 ("Motifs / VCTree + HIERCOM heads") runnable in
+this framework rather than library-only: a HierarchicalPredictor (Motifs /
+Transformer / VCTree context, models/predictors.py) trains and evaluates on
+the same fixed-shape batch contract as the flagship relation head (see
+train.engine), with per-object features mask-pooled from the frozen
+detector feature map — the TPU stand-in for SGB's ROIAlign box features.
+
+Pairs are the full N x N directed grid per image (diagonal and padding
+masked), so every shape is static and the same recall evaluator
+(eval.recall.Evaluator) scores the outputs.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from scene_graph_commonsense_tpu.models.predictors import (
+    HierarchicalPredictor)
+from scene_graph_commonsense_tpu.ops import boxes as box_ops
+from scene_graph_commonsense_tpu.ops import pairs as pair_ops
+from scene_graph_commonsense_tpu.train import losses as L
+from scene_graph_commonsense_tpu.train.engine import TrainState
+
+
+def roi_pool_features(features: jnp.ndarray, boxes: jnp.ndarray,
+                      valid: jnp.ndarray) -> jnp.ndarray:
+    """Mask-average-pool the (B, S, S, C) feature map per object box ->
+    (B, N, C).  Static-shape equivalent of per-box ROI pooling."""
+    s = features.shape[1]
+    masks = box_ops.boxes_to_masks(boxes, s, features.dtype)   # (B, N, S, S)
+    masks = masks * valid[:, :, None, None].astype(masks.dtype)
+    area = jnp.maximum(masks.sum(axis=(2, 3)), 1.0)
+    pooled = jnp.einsum("bnhw,bhwc->bnc", masks, features)
+    return pooled / area[..., None]
+
+
+def union_pool_features(features: jnp.ndarray, boxes: jnp.ndarray,
+                        pair_sub: jnp.ndarray, pair_obj: jnp.ndarray
+                        ) -> jnp.ndarray:
+    """(B, P, C) features mask-pooled over each pair's union box."""
+    s = features.shape[1]
+    take = jax.vmap(lambda b, i: b[i])
+    bs = take(boxes, pair_sub)
+    bo = take(boxes, pair_obj)
+    union = jax.vmap(jax.vmap(box_ops.union_box))(bs, bo)      # (B, P, 4)
+    masks = box_ops.boxes_to_masks(union, s, features.dtype)
+    area = jnp.maximum(masks.sum(axis=(2, 3)), 1.0)
+    pooled = jnp.einsum("bphw,bhwc->bpc", masks, features)
+    return pooled / area[..., None]
+
+
+def grid_pairs(b: int, n: int):
+    """All N*N directed (sub, obj) slot pairs per image, row-major — the
+    same order as the rel grid flattens to."""
+    sub = jnp.repeat(jnp.arange(n, dtype=jnp.int32), n)
+    obj = jnp.tile(jnp.arange(n, dtype=jnp.int32), n)
+    return (jnp.broadcast_to(sub, (b, n * n)),
+            jnp.broadcast_to(obj, (b, n * n)))
+
+
+def _forward(predictor, params, batch, deterministic=True, rng=None):
+    b, n = batch["cats"].shape
+    feats = roi_pool_features(batch["features"], batch["boxes"],
+                              batch["valid"])
+    pair_sub, pair_obj = grid_pairs(b, n)
+    pair_mask = pair_ops.pair_validity(batch["valid"]).reshape(b, n * n)
+    union = union_pool_features(batch["features"], batch["boxes"],
+                                pair_sub, pair_obj)
+    out = predictor.apply(
+        params, feats, batch["boxes"], batch["cats"], batch["valid"],
+        pair_sub, pair_obj, pair_mask, union,
+        rngs={"dropout": rng} if rng is not None else None)
+    img = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n * n)
+    out["pair_img"] = img
+    out["pair_sub"] = pair_sub.reshape(-1)
+    out["pair_obj"] = pair_obj.reshape(-1)
+    out["targets"] = jnp.where(out["pair_mask"],
+                               batch["rel"].reshape(-1), -1)
+    return out
+
+
+def make_pnp_train_step(predictor: HierarchicalPredictor, cfg, optimizer):
+    """Jitted train step: hierarchical relation NLL + connectivity BCE
+    (+ object-decode CE outside predcls mode)."""
+    tc = cfg.training
+
+    def step(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def loss_fn(params):
+            out = _forward(predictor, params, batch, deterministic=False,
+                           rng=rng)
+            targets = out["targets"]
+            valid_p = out["pair_mask"]
+            connected = (targets >= 0) & valid_p
+            loss_rel = L.relation_loss(
+                out["relation"], out["super_relation"], targets, connected,
+                jnp.ones(out["relation"].shape[1], jnp.float32),
+                cfg.model.num_geometric, cfg.model.num_possessive,
+                hierarchical=True)
+            conn = L.connectivity_loss(out["connectivity"], connected,
+                                       valid_p, tc.lambda_not_connected)
+            loss = loss_rel + tc.lambda_connectivity * conn.loss
+            if predictor.mode != "predcls":
+                lab = jax.nn.log_softmax(out["obj_logits"])
+                v = batch["valid"]
+                nll = -jnp.take_along_axis(
+                    lab, batch["cats"][..., None], axis=-1)[..., 0]
+                loss_obj = jnp.sum(nll * v) / jnp.maximum(jnp.sum(v), 1)
+                loss = loss + loss_obj
+            metrics = {"loss": loss, "loss_relationship": loss_rel,
+                       "loss_connectivity": conn.loss}
+            return loss, metrics
+
+        (_, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def make_pnp_eval_step(predictor: HierarchicalPredictor, cfg):
+    def step(params, batch):
+        out = _forward(predictor, params, batch, deterministic=True)
+        b, n = batch["cats"].shape
+        s = batch["features"].shape[1]
+        iou_ok = (pair_ops.eval_pair_filter(batch["boxes"], s)
+                  .reshape(b * n * n) & out["pair_mask"])
+        out["iou_ok"] = iou_ok
+        return {k: out[k] for k in
+                ("relation", "super_relation", "connectivity", "targets",
+                 "pair_img", "pair_sub", "pair_obj", "pair_mask",
+                 "iou_ok")}
+
+    return jax.jit(step)
+
+
+def init_predictor_params(cfg, predictor: HierarchicalPredictor,
+                          feature_dim: Optional[int] = None):
+    n = cfg.data.max_objects
+    d = feature_dim or cfg.model.num_img_feature
+    z = jnp.zeros
+    return predictor.init(
+        jax.random.PRNGKey(cfg.training.seed),
+        z((1, n, d)), z((1, n, 4)), z((1, n), jnp.int32),
+        jnp.ones((1, n), bool), z((1, n * n), jnp.int32),
+        z((1, n * n), jnp.int32), jnp.ones((1, n * n), bool),
+        z((1, n * n, d)))
+
+
+def make_predictor(cfg, family: str) -> HierarchicalPredictor:
+    mode = {"pc": "predcls", "sgc": "sgcls", "sgd": "sgdet"}[
+        cfg.training.eval_mode]
+    return HierarchicalPredictor(
+        family=family, num_classes=cfg.model.num_classes,
+        num_geometric=cfg.model.num_geometric,
+        num_possessive=cfg.model.num_possessive,
+        num_semantic=cfg.model.num_semantic, mode=mode)
+
+
+def fit_predictor(cfg, family: str,
+                  train_batches_fn, test_batches_fn=None,
+                  artifacts=None, featurize=None,
+                  log_fn=print):
+    """Training driver for a plug-and-play predictor family; mirrors
+    train.loop.fit's orchestration (per-epoch loop + truncated test)."""
+    from scene_graph_commonsense_tpu.train.loop import lr_schedule
+
+    tc = cfg.training
+    predictor = make_predictor(cfg, family)
+    params = init_predictor_params(cfg, predictor)
+    opt = optax.chain(optax.clip_by_global_norm(5.0),
+                      optax.adamw(1e-4))
+    step = make_pnp_train_step(predictor, cfg, opt)
+    state = TrainState(params, opt.init(params), jnp.int32(0))
+    rng = jax.random.PRNGKey(tc.seed)
+
+    for epoch in range(tc.start_epoch, tc.num_epoch):
+        log_fn(f"[pnp:{family}] Start Training... EPOCH {epoch} / "
+               f"{tc.num_epoch}")
+        for i, batch in enumerate(train_batches_fn(epoch)):
+            if featurize is not None:
+                batch = featurize(batch)
+            batch.pop("annot_path", None)
+            batch.pop("features_aug", None)
+            state, metrics = step(state, batch, rng)
+            if i % tc.print_freq == 0:
+                m = jax.tree.map(float, metrics)
+                log_fn(f"[pnp:{family}] epoch {epoch} batch {i} " +
+                       " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+        if test_batches_fn is not None:
+            res = run_eval_pc_predictor(
+                cfg, predictor, state.params,
+                map(_strip, test_batches_fn(epoch)), artifacts=artifacts,
+                featurize=featurize,
+                max_batches=100 if epoch < 2 else None)
+            log_fn(f"[pnp:{family}] TEST epoch {epoch} "
+                   f"R@k: {res['recall']} mR@k: {res['mean_recall']}")
+    return predictor, state
+
+
+def _strip(batch):
+    batch = dict(batch)
+    batch.pop("annot_path", None)
+    batch.pop("features_aug", None)
+    return batch
+
+
+def run_eval_pc_predictor(cfg, predictor, params,
+                          batches: Iterable[Dict], artifacts=None,
+                          featurize=None, max_batches=None):
+    """PredCLS evaluation of a predictor family with the standard
+    vectorized Recall@k evaluator."""
+    from scene_graph_commonsense_tpu.eval.builders import (
+        build_candidates, build_targets)
+    from scene_graph_commonsense_tpu.eval.engines import _make_evaluators
+
+    evaluator, _ = _make_evaluators(cfg, artifacts, predcls=True)
+    estep = make_pnp_eval_step(predictor, cfg)
+    m = cfg.model
+    for i, batch in enumerate(batches):
+        if max_batches is not None and i >= max_batches:
+            break
+        if featurize is not None:
+            batch = featurize(batch)
+        batch = _strip(batch)
+        out = jax.tree.map(np.asarray, estep(params, batch))
+        cand = build_candidates(
+            out["relation"], out["connectivity"], out["super_relation"],
+            out["pair_img"], out["pair_sub"], out["pair_obj"],
+            out["pair_mask"], out["iou_ok"], np.asarray(batch["cats"]),
+            np.asarray(batch["boxes"]), hierarchical=True,
+            num_geometric=m.num_geometric, num_possessive=m.num_possessive)
+        tgt = build_targets(np.asarray(batch["rel"]),
+                            np.asarray(batch["cats"]),
+                            np.asarray(batch["boxes"]),
+                            np.asarray(batch["valid"]))
+        evaluator.accumulate(cand, tgt)
+    return evaluator.compute()
