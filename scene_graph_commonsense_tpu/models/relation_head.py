@@ -33,6 +33,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -140,6 +141,42 @@ class RelationClassifier(nn.Module):
         u = jnp.tanh(self.conv1_sub(x))
         v = jnp.tanh(self.conv1_obj(x))
         return self.conv2_sub(u), self.conv2_obj(v)
+
+    def object_streams_grouped(self, x: jnp.ndarray):
+        """object_streams emitted directly in the fused pair-pool kernel's
+        (M, 4, S/2, S/2, 4*hidden) layout: conv2 runs as four offset
+        stride-2 convolutions (same weights, same total FLOPs) instead of
+        stride-1 followed by rearrange_pool_groups — numerically exact and
+        skips ~6 ms/step of relayout transposes (fwd + VJP) on v5e."""
+        if self.is_initializing():
+            # init through the stride-1 path so conv2 params are created
+            # with their canonical shapes
+            from scene_graph_commonsense_tpu.ops.pallas.pair_pool import (
+                rearrange_pool_groups)
+            a, b = self.object_streams(x)
+            return rearrange_pool_groups(a), rearrange_pool_groups(b)
+        x = x.astype(self.dtype)
+        u = jnp.tanh(self.conv1_sub(x))
+        v = jnp.tanh(self.conv1_obj(x))
+        k_sub = self.conv2_sub.variables["params"]["kernel"].astype(
+            self.dtype)
+        k_obj = self.conv2_obj.variables["params"]["kernel"].astype(
+            self.dtype)
+        b_obj = self.conv2_obj.variables["params"]["bias"].astype(
+            self.dtype)
+        dn = ("NHWC", "HWIO", "NHWC")
+
+        def grouped(inp, kernel, bias=None):
+            outs = []
+            for dy in (0, 1):
+                for dx in (0, 1):
+                    outs.append(jax.lax.conv_general_dilated(
+                        inp, kernel, (2, 2),
+                        ((1 - dy, dy), (1 - dx, dx)),
+                        dimension_numbers=dn))
+            out = jnp.stack(outs, axis=1)
+            return out if bias is None else out + bias
+        return grouped(u, k_sub), grouped(v, k_obj, b_obj)
 
     # ---------------- per-pair stage ----------------
 

@@ -132,18 +132,18 @@ def forward_pairs(model: RelationClassifier, params, batch: Dict[str, Any],
         rng_s, rng_t, rng_h = jax.random.split(dropout_rng, 3)
     else:
         rng_s = rng_t = rng_h = None
-    a, bb = model.apply(params, x, method=RelationClassifier.object_streams)
-
     if packed is None:
         packed = pair_ops.pack_pairs(pair_ops.pair_validity(batch["valid"]),
                                      capacity)
     if use_pallas_pool:
         # fused gather+add+maxpool+relu (ops.pallas.pair_pool); custom-VJP
-        # wrapper keeps the training path differentiable
+        # wrapper keeps the training path differentiable.  The object
+        # streams come out of conv2 directly in the kernel's pool-group
+        # layout (four offset stride-2 convs — no relayout transpose).
         from scene_graph_commonsense_tpu.ops.pallas.pair_pool import (
-            pair_pool, rearrange_pool_groups)
-        a4 = rearrange_pool_groups(a)
-        b4 = rearrange_pool_groups(bb)
+            pair_pool)
+        a4, b4 = model.apply(
+            params, x, method=RelationClassifier.object_streams_grouped)
         pooled = pair_pool(a4, b4, packed.flat_sub, packed.flat_obj,
                            pallas_interpret, 0)
         h = model.apply(
@@ -151,6 +151,8 @@ def forward_pairs(model: RelationClassifier, params, batch: Dict[str, Any],
             method=RelationClassifier.pair_trunk_from_pooled,
             rngs={"dropout": rng_t} if rng_t is not None else None)
     else:
+        a, bb = model.apply(params, x,
+                            method=RelationClassifier.object_streams)
         h = _chunked_pair_trunk(model, params, a, bb, packed, chunk_size,
                                 deterministic, rng_t)
     flat_cats = batch["cats"].reshape(b * n)

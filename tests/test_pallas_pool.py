@@ -83,3 +83,22 @@ def test_pair_pool_gradients_match_xla(rng):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(gb_pl), np.asarray(gb_rf),
                                atol=1e-5)
+
+
+def test_object_streams_grouped_matches_rearranged(rng):
+    """conv2 as four offset stride-2 convs == stride-1 conv + rearrange."""
+    cfg = tiny_cfg()
+    model = make_relation_classifier(cfg)
+    params = init_params(cfg, model, rng)
+    s = cfg.model.feature_size
+    x = jnp.asarray(rng.standard_normal(
+        (3, s, s, 2 * cfg.model.hidden_dim + 1)).astype(np.float32))
+    a, b = model.apply(params, x, method=type(model).object_streams)
+    a4, b4 = model.apply(params, x,
+                         method=type(model).object_streams_grouped)
+    np.testing.assert_allclose(np.asarray(a4),
+                               np.asarray(rearrange_pool_groups(a)),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(b4),
+                               np.asarray(rearrange_pool_groups(b)),
+                               atol=1e-5)
