@@ -40,12 +40,15 @@ import jax
 import jax.numpy as jnp
 
 
-def box_position_features(boxes: jnp.ndarray, image_size: float = 1.0
+def box_position_features(boxes: jnp.ndarray, size: float = 32.0
                           ) -> jnp.ndarray:
-    """(…, 4) xyxy boxes -> (…, 9) normalized geometry features
-    [x1, y1, x2, y2, cx, cy, w, h, area] (Motifs' encode_box_info)."""
-    b = boxes / image_size
-    x1, y1, x2, y2 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    """(…, 4) boxes in this framework's grid convention
+    (x_min, x_max, y_min, y_max) on a `size`-sized grid -> (…, 9)
+    normalized geometry features [x1, y1, x2, y2, cx, cy, w, h, area]
+    (Motifs' encode_box_info).  Normalization keeps every feature O(1);
+    unnormalized coordinates blow up the downstream bilinear scores."""
+    b = boxes / size
+    x1, x2, y1, y2 = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
     w, h = x2 - x1, y2 - y1
     return jnp.stack([x1, y1, x2, y2, (x1 + x2) / 2, (y1 + y2) / 2,
                       w, h, w * h], axis=-1)
@@ -109,6 +112,7 @@ class MotifsContext(nn.Module):
     obj_layers: int = 1
     edge_layers: int = 1
     mode: str = "predcls"                      # predcls | sgcls | sgdet
+    box_scale: float = 32.0                    # grid size boxes live on
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -116,7 +120,8 @@ class MotifsContext(nn.Module):
         embed = nn.Embed(self.num_classes + 1, self.embed_dim,
                          name="label_embed", dtype=self.dtype)
         pos = nn.Dense(32, dtype=self.dtype, name="box_embed")(
-            box_position_features(boxes).astype(self.dtype))
+            box_position_features(boxes, self.box_scale).astype(
+                self.dtype))
         lab = embed(jnp.clip(labels + 1, 0, self.num_classes))
         x = jnp.concatenate([feats.astype(self.dtype), lab, pos], axis=-1)
         for i in range(self.obj_layers):
@@ -145,6 +150,7 @@ class TransformerContext(nn.Module):
     num_layers: int = 2
     num_heads: int = 4
     mode: str = "predcls"
+    box_scale: float = 32.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -152,7 +158,8 @@ class TransformerContext(nn.Module):
         embed = nn.Embed(self.num_classes + 1, self.embed_dim,
                          name="label_embed", dtype=self.dtype)
         pos = nn.Dense(32, dtype=self.dtype, name="box_embed")(
-            box_position_features(boxes).astype(self.dtype))
+            box_position_features(boxes, self.box_scale).astype(
+                self.dtype))
         lab = embed(jnp.clip(labels + 1, 0, self.num_classes))
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="proj")(
             jnp.concatenate([feats.astype(self.dtype), lab, pos], axis=-1))
@@ -265,6 +272,7 @@ class VCTreeContext(nn.Module):
     embed_dim: int = 100
     num_classes: int = 150
     mode: str = "predcls"
+    box_scale: float = 32.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -273,7 +281,8 @@ class VCTreeContext(nn.Module):
         embed = nn.Embed(self.num_classes + 1, self.embed_dim,
                          name="label_embed", dtype=self.dtype)
         pos = nn.Dense(32, dtype=self.dtype, name="box_embed")(
-            box_position_features(boxes).astype(self.dtype))
+            box_position_features(boxes, self.box_scale).astype(
+                self.dtype))
         lab = embed(jnp.clip(labels + 1, 0, self.num_classes))
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="proj")(
             jnp.concatenate([feats.astype(self.dtype), lab, pos], axis=-1))
@@ -286,7 +295,13 @@ class VCTreeContext(nn.Module):
         scores = (scores + scores.transpose(0, 2, 1)) / jnp.sqrt(
             jnp.float32(self.hidden_dim))
         from scene_graph_commonsense_tpu.ops.nms import box_iou_xyxy
-        scores = scores + box_iou_xyxy(boxes[:, :, None], boxes[:, None, :])
+        xyxy = boxes[..., jnp.array([0, 2, 1, 3])]   # grid conv. -> xyxy
+        scores = scores + box_iou_xyxy(xyxy[:, :, None], xyxy[:, None, :])
+        # Prim's argmax gives the structure no gradient; expose the raw
+        # score matrix so the trainer can add VCTree's supervised structure
+        # loss (scores -> GT relatedness; the differentiable half of Tang
+        # et al.'s hybrid learning)
+        self.sow("intermediates", "pair_scores", scores)
         eye = jnp.eye(n, dtype=bool)
         scores = jnp.where(eye[None], -jnp.inf, scores)
 

@@ -111,6 +111,7 @@ class HierarchicalPredictor(nn.Module):
     num_semantic: int = 24
     mode: str = "predcls"
     use_freq_bias: bool = True
+    box_scale: float = 32.0
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -122,7 +123,8 @@ class HierarchicalPredictor(nn.Module):
         ctx_cls = _CONTEXTS[self.family]
         ctx, obj_logits = ctx_cls(
             hidden_dim=self.hidden_dim, num_classes=self.num_classes,
-            mode=self.mode, dtype=self.dtype, name="context")(
+            mode=self.mode, box_scale=self.box_scale, dtype=self.dtype,
+            name="context")(
             feats, boxes, labels, valid)
 
         take = jax.vmap(lambda c, i: c[i])     # (B,N,D),(B,P) -> (B,P,D)

@@ -65,7 +65,8 @@ def grid_pairs(b: int, n: int):
             jnp.broadcast_to(obj, (b, n * n)))
 
 
-def _forward(predictor, params, batch, deterministic=True, rng=None):
+def _forward(predictor, params, batch, deterministic=True, rng=None,
+             with_intermediates=False):
     b, n = batch["cats"].shape
     feats = roi_pool_features(batch["features"], batch["boxes"],
                               batch["valid"])
@@ -76,7 +77,15 @@ def _forward(predictor, params, batch, deterministic=True, rng=None):
     out = predictor.apply(
         params, feats, batch["boxes"], batch["cats"], batch["valid"],
         pair_sub, pair_obj, pair_mask, union,
-        rngs={"dropout": rng} if rng is not None else None)
+        rngs={"dropout": rng} if rng is not None else None,
+        mutable=["intermediates"] if with_intermediates else False)
+    if with_intermediates:
+        out, inter = out
+        out = dict(out)
+        scores = inter.get("intermediates", {}).get(
+            "context", {}).get("pair_scores")
+        if scores is not None:
+            out["structure_scores"] = scores[0]
     img = jnp.repeat(jnp.arange(b, dtype=jnp.int32), n * n)
     out["pair_img"] = img
     out["pair_sub"] = pair_sub.reshape(-1)
@@ -96,7 +105,8 @@ def make_pnp_train_step(predictor: HierarchicalPredictor, cfg, optimizer):
 
         def loss_fn(params):
             out = _forward(predictor, params, batch, deterministic=False,
-                           rng=rng)
+                           rng=rng,
+                           with_intermediates=predictor.family == "vctree")
             targets = out["targets"]
             valid_p = out["pair_mask"]
             connected = (targets >= 0) & valid_p
@@ -108,6 +118,26 @@ def make_pnp_train_step(predictor: HierarchicalPredictor, cfg, optimizer):
             conn = L.connectivity_loss(out["connectivity"], connected,
                                        valid_p, tc.lambda_not_connected)
             loss = loss_rel + tc.lambda_connectivity * conn.loss
+            if "structure_scores" in out:
+                # VCTree supervised structure loss (the differentiable half
+                # of the hybrid learning): pair scores -> GT relatedness in
+                # either direction; without it Prim's argmax leaves the
+                # score/rootness parameters gradient-free
+                s = out["structure_scores"].astype(jnp.float32)
+                rel = batch["rel"]
+                related = (rel >= 0) | (rel.transpose(0, 2, 1) >= 0)
+                b_, n_ = batch["cats"].shape
+                vp = (batch["valid"][:, :, None]
+                      & batch["valid"][:, None, :]
+                      & ~jnp.eye(n_, dtype=bool)[None])
+                bce = jnp.where(related, jax.nn.softplus(-s),
+                                jax.nn.softplus(s))
+                loss_struct = (jnp.sum(bce * vp)
+                               / jnp.maximum(jnp.sum(vp), 1))
+                loss = loss + loss_struct
+                extra = {"loss_structure": loss_struct}
+            else:
+                extra = {}
             if predictor.mode != "predcls":
                 lab = jax.nn.log_softmax(out["obj_logits"])
                 v = batch["valid"]
@@ -116,7 +146,7 @@ def make_pnp_train_step(predictor: HierarchicalPredictor, cfg, optimizer):
                 loss_obj = jnp.sum(nll * v) / jnp.maximum(jnp.sum(v), 1)
                 loss = loss + loss_obj
             metrics = {"loss": loss, "loss_relationship": loss_rel,
-                       "loss_connectivity": conn.loss}
+                       "loss_connectivity": conn.loss, **extra}
             return loss, metrics
 
         (_, metrics), grads = jax.value_and_grad(
@@ -165,7 +195,8 @@ def make_predictor(cfg, family: str) -> HierarchicalPredictor:
         family=family, num_classes=cfg.model.num_classes,
         num_geometric=cfg.model.num_geometric,
         num_possessive=cfg.model.num_possessive,
-        num_semantic=cfg.model.num_semantic, mode=mode)
+        num_semantic=cfg.model.num_semantic, mode=mode,
+        box_scale=float(cfg.model.feature_size))
 
 
 def fit_predictor(cfg, family: str,

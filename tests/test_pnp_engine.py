@@ -82,3 +82,23 @@ def test_cli_predictor_smoke():
     assert out.returncode == 0, out.stderr[-2000:]
     assert "[pnp:motifs]" in out.stdout
     assert "TEST" in out.stdout
+
+
+def test_vctree_structure_params_receive_gradient():
+    """The supervised structure loss must give score_q/score_k/rootness
+    nonzero gradients (Prim's argmax alone would leave them dead)."""
+    cfg = _cfg()
+    predictor = pnp_engine.make_predictor(cfg, "vctree")
+    params = pnp_engine.init_predictor_params(cfg, predictor)
+    opt = optax.adamw(1e-3)
+    step = pnp_engine.make_pnp_train_step(predictor, cfg, opt)
+    # the step donates its input state; keep host copies of the old kernels
+    ctx_old = jax.tree.map(np.asarray, params["params"]["context"])
+    state = TrainState(params, opt.init(params), jnp.int32(0))
+    batch = _batch(cfg)
+    new_state, _ = step(state, batch, jax.random.PRNGKey(0))
+    ctx_new = new_state.params["params"]["context"]
+    for name in ("score_q", "score_k", "rootness"):
+        delta = float(jnp.max(jnp.abs(ctx_new[name]["kernel"]
+                                      - ctx_old[name]["kernel"])))
+        assert delta > 0, f"{name} received no update"
