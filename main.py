@@ -174,21 +174,35 @@ def main():
     if args.predictor:
         # plug-and-play model families (BASELINE config 5): Motifs /
         # Transformer / VCTree context + hierarchical head end-to-end
+        from scene_graph_commonsense_tpu.train import checkpoint as ckpt_lib
         from scene_graph_commonsense_tpu.train import pnp_engine
-        if run_mode in ("train", "train_cs"):
+        if run_mode == "train":
             pnp_engine.fit_predictor(cfg, args.predictor, train_fn,
                                      test_fn, artifacts=artifacts,
-                                     featurize=featurize)
+                                     featurize=featurize,
+                                     steps_per_epoch=args.synthetic or 1000)
         elif run_mode in ("eval", "eval_cs"):
             predictor = pnp_engine.make_predictor(cfg, args.predictor)
             p = pnp_engine.init_predictor_params(cfg, predictor)
+            ckpt = os.path.join(cfg.training.checkpoint_path,
+                                pnp_engine.checkpoint_name(
+                                    args.predictor,
+                                    cfg.data.supcat_clustering,
+                                    cfg.training.test_epoch))
+            if os.path.exists(ckpt):
+                p = ckpt_lib.restore(ckpt, p)
+            else:
+                print(f"WARNING: predictor checkpoint {ckpt} not found — "
+                      f"evaluating randomly initialized weights")
             res = pnp_engine.run_eval_pc_predictor(
                 cfg, predictor, p, test_fn(0), artifacts=artifacts,
-                featurize=featurize)
+                featurize=featurize, use_cs=run_mode == "eval_cs")
             print(json.dumps({k: v for k, v in res.items()
                               if isinstance(v, (int, float, list))
                               and k != "recall_per_class"}, default=str))
         else:
+            # train_cs would need the commonsense penalty wired into the
+            # pnp loss; refuse loudly instead of silently dropping it
             sys.exit(f"--predictor does not support run_mode {run_mode}")
         return
     if run_mode in ("train", "train_cs"):

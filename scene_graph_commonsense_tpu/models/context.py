@@ -123,7 +123,13 @@ class MotifsContext(nn.Module):
             box_position_features(boxes, self.box_scale).astype(
                 self.dtype))
         lab = embed(jnp.clip(labels + 1, 0, self.num_classes))
-        x = jnp.concatenate([feats.astype(self.dtype), lab, pos], axis=-1)
+        # GT labels are input features only in predcls; in sgcls/sgdet the
+        # object class is the *prediction target*, so the input embedding
+        # is the uniform 'unknown' slot (index 0) — no label leakage
+        lab_in = lab if self.mode == "predcls" else embed(
+            jnp.zeros_like(labels))
+        x = jnp.concatenate([feats.astype(self.dtype), lab_in, pos],
+                            axis=-1)
         for i in range(self.obj_layers):
             x = MaskedBiLSTM(self.hidden_dim, name=f"obj_lstm{i}")(x, valid)
         obj_ctx = x
@@ -161,8 +167,12 @@ class TransformerContext(nn.Module):
             box_position_features(boxes, self.box_scale).astype(
                 self.dtype))
         lab = embed(jnp.clip(labels + 1, 0, self.num_classes))
+        # see MotifsContext: GT labels enter only in predcls mode
+        lab_in = lab if self.mode == "predcls" else embed(
+            jnp.zeros_like(labels))
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="proj")(
-            jnp.concatenate([feats.astype(self.dtype), lab, pos], axis=-1))
+            jnp.concatenate([feats.astype(self.dtype), lab_in, pos],
+                            axis=-1))
         attn_mask = (valid[:, None, None, :] & valid[:, None, :, None])
         for i in range(self.num_layers):
             h = nn.LayerNorm(name=f"ln_a{i}")(x)
@@ -284,8 +294,12 @@ class VCTreeContext(nn.Module):
             box_position_features(boxes, self.box_scale).astype(
                 self.dtype))
         lab = embed(jnp.clip(labels + 1, 0, self.num_classes))
+        # see MotifsContext: GT labels enter only in predcls mode
+        lab_in = lab if self.mode == "predcls" else embed(
+            jnp.zeros_like(labels))
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="proj")(
-            jnp.concatenate([feats.astype(self.dtype), lab, pos], axis=-1))
+            jnp.concatenate([feats.astype(self.dtype), lab_in, pos],
+                            axis=-1))
         x = jnp.where(valid[..., None], x, 0.0)
 
         # --- 1. pair scores (symmetrized bilinear + overlap prior) ---

@@ -133,9 +133,11 @@ def pair_pool(a4, b4, si, oj, interpret: bool = False,
     traffic regathering both streams and comparing against the output).
     Ties take the gradient on the first maximal slot, matching
     select-and-scatter's first-winner rule."""
-    out, _ = fused_pair_pool(a4, b4, si, oj, interpret=interpret,
-                             channel_tile=channel_tile, with_idx=True)
-    return out
+    # primal (no grad in flight): the idx-free kernel — computing the
+    # winner index here would write an unused (P, h, h, C) int8 tensor on
+    # every eval/inference call
+    return fused_pair_pool(a4, b4, si, oj, interpret=interpret,
+                           channel_tile=channel_tile, with_idx=False)
 
 
 def _pair_pool_fwd(a4, b4, si, oj, interpret, channel_tile):

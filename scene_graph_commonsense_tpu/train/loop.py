@@ -116,6 +116,10 @@ def fit(cfg, model, params, train_batches_fn: Callable[[int], Iterable],
     train_eval, _ = _make_evaluators(cfg, artifacts, predcls=True)
     train_estep = engine.make_eval_step(model, cfg)
 
+    # host-side step counter: int(state.step) would block on the device
+    # every iteration (state.step is an output of the async-dispatched
+    # jitted step), killing host/device pipelining
+    host_step = int(state.step)
     for epoch in range(tc.start_epoch, tc.num_epoch):
         log_fn(f"Start Training... EPOCH {epoch} / {tc.num_epoch}")
         t0 = time.time()
@@ -125,8 +129,9 @@ def fit(cfg, model, params, train_batches_fn: Callable[[int], Iterable],
             batch.pop("annot_path", None)
             if mesh is not None:
                 batch = shard_batch(mesh, batch)
-            profiler.step(int(state.step))
+            profiler.step(host_step)
             state, metrics = step(state, batch, rng)
+            host_step += 1
             timer.tick()
 
             recall = mean_recall = None
@@ -151,8 +156,7 @@ def fit(cfg, model, params, train_batches_fn: Callable[[int], Iterable],
 
             if (batch_count % tc.print_freq == 0):
                 metrics = jax.tree.map(float, metrics)
-                lr = float(lr_schedule(cfg, steps_per_epoch)(
-                    int(state.step)))
+                lr = float(lr_schedule(cfg, steps_per_epoch)(host_step))
                 imgs = (batch_count + 1) * tc.batch_size
                 line = format_train_line(epoch, batch_count, lr, recall,
                                          mean_recall, losses=metrics)
@@ -161,10 +165,10 @@ def fit(cfg, model, params, train_batches_fn: Callable[[int], Iterable],
                               "lr": lr, **metrics})
                 # TensorBoard scalar tag set mirrors reference
                 # train_test.py:279-285 (the 5 loss terms + lr + timing)
-                writer.scalars(metrics, int(state.step), prefix="train/")
-                writer.scalar("train/lr", lr, int(state.step))
+                writer.scalars(metrics, host_step, prefix="train/")
+                writer.scalar("train/lr", lr, host_step)
                 writer.scalars(timer.summary(tc.batch_size),
-                               int(state.step), prefix="perf/")
+                               host_step, prefix="perf/")
 
         # per-epoch checkpoint (reference train_test.py:311-322)
         name = ckpt_lib.checkpoint_name(

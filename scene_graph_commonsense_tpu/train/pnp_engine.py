@@ -199,20 +199,37 @@ def make_predictor(cfg, family: str) -> HierarchicalPredictor:
         box_scale=float(cfg.model.feature_size))
 
 
+def checkpoint_name(family: str, cluster: str, epoch: int) -> str:
+    """PnpMotifsModel_{cluster}{epoch} — the pnp analogue of the flagship
+    checkpoint naming (train.checkpoint.checkpoint_name)."""
+    return f"Pnp{family.capitalize()}Model_{cluster}{epoch}"
+
+
 def fit_predictor(cfg, family: str,
                   train_batches_fn, test_batches_fn=None,
-                  artifacts=None, featurize=None,
+                  artifacts=None, featurize=None, steps_per_epoch=1000,
                   log_fn=print):
     """Training driver for a plug-and-play predictor family; mirrors
-    train.loop.fit's orchestration (per-epoch loop + truncated test)."""
+    train.loop.fit's orchestration (per-epoch loop + truncated test +
+    per-epoch checkpoint).  Optimizer knobs come from cfg.training like
+    the flagship loop; grad_clip_norm 0 falls back to 5.0 here because
+    the freshly initialized context models spike early (documented
+    deviation from the reference's unclipped SGD)."""
+    import os
+
+    from scene_graph_commonsense_tpu.train import checkpoint as ckpt_lib
+    from scene_graph_commonsense_tpu.train import engine
     from scene_graph_commonsense_tpu.train.loop import lr_schedule
 
     tc = cfg.training
     predictor = make_predictor(cfg, family)
     params = init_predictor_params(cfg, predictor)
-    opt = optax.chain(optax.clip_by_global_norm(5.0),
-                      optax.adamw(1e-4))
+    opt = engine.make_optimizer(lr_schedule(cfg, steps_per_epoch),
+                                momentum=tc.momentum,
+                                weight_decay=tc.weight_decay,
+                                grad_clip_norm=tc.grad_clip_norm or 5.0)
     step = make_pnp_train_step(predictor, cfg, opt)
+    estep = make_pnp_eval_step(predictor, cfg)
     state = TrainState(params, opt.init(params), jnp.int32(0))
     rng = jax.random.PRNGKey(tc.seed)
 
@@ -229,12 +246,16 @@ def fit_predictor(cfg, family: str,
                 m = jax.tree.map(float, metrics)
                 log_fn(f"[pnp:{family}] epoch {epoch} batch {i} " +
                        " ".join(f"{k}={v:.4f}" for k, v in m.items()))
+        path = os.path.join(tc.checkpoint_path, checkpoint_name(
+            family, cfg.data.supcat_clustering, epoch))
+        ckpt_lib.save(path, jax.device_get(state.params))
+        log_fn(f"[pnp:{family}] Saved checkpoint {path}")
         if test_batches_fn is not None:
             res = run_eval_pc_predictor(
                 cfg, predictor, state.params,
                 map(_strip, test_batches_fn(epoch)), artifacts=artifacts,
                 featurize=featurize,
-                max_batches=100 if epoch < 2 else None)
+                max_batches=100 if epoch < 2 else None, estep=estep)
             log_fn(f"[pnp:{family}] TEST epoch {epoch} "
                    f"R@k: {res['recall']} mR@k: {res['mean_recall']}")
     return predictor, state
@@ -249,15 +270,26 @@ def _strip(batch):
 
 def run_eval_pc_predictor(cfg, predictor, params,
                           batches: Iterable[Dict], artifacts=None,
-                          featurize=None, max_batches=None):
+                          featurize=None, max_batches=None, use_cs=False,
+                          estep=None):
     """PredCLS evaluation of a predictor family with the standard
-    vectorized Recall@k evaluator."""
+    vectorized Recall@k evaluator.  use_cs applies the commonsense
+    triplet filtering (eval_cs) through the same dense tables as the
+    flagship engine.  Pass a prebuilt `estep` to reuse its jit cache
+    across calls (fit_predictor does, once per run)."""
     from scene_graph_commonsense_tpu.eval.builders import (
         build_candidates, build_targets)
     from scene_graph_commonsense_tpu.eval.engines import _make_evaluators
 
     evaluator, _ = _make_evaluators(cfg, artifacts, predcls=True)
-    estep = make_pnp_eval_step(predictor, cfg)
+    if estep is None:
+        estep = make_pnp_eval_step(predictor, cfg)
+    cs_a = cs_v = None
+    if use_cs:
+        if artifacts is None or artifacts.cs_aligned is None:
+            raise ValueError("eval_cs requires converted commonsense "
+                             "triplet tables (run prepare_cs first)")
+        cs_a, cs_v = artifacts.cs_aligned, artifacts.cs_violated
     m = cfg.model
     for i, batch in enumerate(batches):
         if max_batches is not None and i >= max_batches:
@@ -271,7 +303,9 @@ def run_eval_pc_predictor(cfg, predictor, params,
             out["pair_img"], out["pair_sub"], out["pair_obj"],
             out["pair_mask"], out["iou_ok"], np.asarray(batch["cats"]),
             np.asarray(batch["boxes"]), hierarchical=True,
-            num_geometric=m.num_geometric, num_possessive=m.num_possessive)
+            num_geometric=m.num_geometric, num_possessive=m.num_possessive,
+            cs_aligned=cs_a, cs_violated=cs_v,
+            num_obj_classes=m.num_classes)
         tgt = build_targets(np.asarray(batch["rel"]),
                             np.asarray(batch["cats"]),
                             np.asarray(batch["boxes"]),

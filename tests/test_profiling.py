@@ -53,8 +53,8 @@ def test_step_profiler_window(tmp_path):
         jax.numpy.ones(4).block_until_ready()
     p.close()
     # jax writes plugins/profile/<run>/ under the logdir
-    found = any("profile" in dirs or fs
-                for _, dirs, fs in os.walk(logdir))
+    found = any("profile" in dirs
+                for _, dirs, _ in os.walk(logdir))
     assert found
 
 
