@@ -99,6 +99,11 @@ class TrainConfig:
     lambda_cs_strong: float = 10.0
     # 0 = off (reference parity); >0 adds global-norm gradient clipping
     grad_clip_norm: float = 0.0
+    # Precision knobs (TPU-first additions, both default to reference-
+    # equivalent f32): 'bfloat16' halves the SGD momentum buffer's HBM
+    # traffic / the gradient all-reduce's ICI traffic respectively.
+    momentum_dtype: str = "float32"
+    grad_allreduce_dtype: str = "float32"
     print_freq: int = 100
     eval_freq: int = 100
     print_freq_test: int = 20

@@ -45,18 +45,22 @@ class TrainState(NamedTuple):
 
 def make_optimizer(learning_rate, momentum: float = 0.9,
                    weight_decay: float = 1e-4,
-                   grad_clip_norm: float = 0.0):
+                   grad_clip_norm: float = 0.0,
+                   momentum_dtype: str = "float32"):
     """SGD + momentum with coupled weight decay, matching torch.optim.SGD
     semantics (reference train_test.py:100-101): grad += wd * param before
     the momentum buffer update.  grad_clip_norm > 0 adds global-norm
     clipping — a deviation from the reference that tames the unnormalized
     SupCon term's gradient spikes (its 1/temperature-scaled dot products
-    over 512-d unnormalized hiddens can exceed 1e3)."""
+    over 512-d unnormalized hiddens can exceed 1e3).
+    momentum_dtype='bfloat16' halves the momentum buffer's HBM traffic
+    (the fc1 buffer alone is 1 GB in f32) at a small numerical cost."""
     steps = []
     if grad_clip_norm > 0:
         steps.append(optax.clip_by_global_norm(grad_clip_norm))
     steps.append(optax.add_decayed_weights(weight_decay))
-    steps.append(optax.sgd(learning_rate, momentum=momentum))
+    steps.append(optax.sgd(learning_rate, momentum=momentum,
+                           accumulator_dtype=jnp.dtype(momentum_dtype)))
     return optax.chain(*steps)
 
 
@@ -286,7 +290,15 @@ def make_train_step(model: RelationClassifier, cfg, optimizer,
         (_, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
         if mesh is not None:
-            grads = jax.lax.pmean(grads, "data")
+            # optional bf16 all-reduce: halves ICI bytes; the mean is
+            # accumulated by the collective, params/updates stay f32
+            ar_dtype = jnp.dtype(cfg.training.grad_allreduce_dtype)
+            if ar_dtype != jnp.float32:
+                grads = jax.tree.map(
+                    lambda g: jax.lax.pmean(g.astype(ar_dtype), "data")
+                    .astype(g.dtype), grads)
+            else:
+                grads = jax.lax.pmean(grads, "data")
             metrics = jax.lax.pmean(metrics, "data")
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
@@ -296,17 +308,23 @@ def make_train_step(model: RelationClassifier, cfg, optimizer,
     if mesh is None:
         return jax.jit(local_step, donate_argnums=(0,) if donate else ())
 
-    batch_specs = {
-        "features": P("data"), "features_aug": P("data"),
-        "depth": P("data"), "cats": P("data"), "super_mh": P("data"),
-        "boxes": P("data"), "rel": P("data"), "valid": P("data"),
-    }
-    sharded = jax.shard_map(
-        local_step, mesh=mesh,
-        in_specs=(P(), batch_specs, P()),
-        out_specs=(P(), P()),
-        check_vma=False)
-    return jax.jit(sharded, donate_argnums=(0,) if donate else ())
+    # in_specs must structurally match the batch dict, whose key set varies
+    # (e.g. no features_aug in eval-style batches); build per key set
+    cache = {}
+
+    def stepper(state, batch, rng):
+        keys = frozenset(batch)
+        if keys not in cache:
+            sharded = jax.shard_map(
+                local_step, mesh=mesh,
+                in_specs=(P(), {k: P("data") for k in batch}, P()),
+                out_specs=(P(), P()),
+                check_vma=False)
+            cache[keys] = jax.jit(
+                sharded, donate_argnums=(0,) if donate else ())
+        return cache[keys](state, batch, rng)
+
+    return stepper
 
 
 def make_eval_step(model: RelationClassifier, cfg, capacity: int = 0,

@@ -80,7 +80,8 @@ def fit(cfg, model, params, train_batches_fn: Callable[[int], Iterable],
     opt = engine.make_optimizer(lr_schedule(cfg, steps_per_epoch),
                                 momentum=tc.momentum,
                                 weight_decay=tc.weight_decay,
-                                grad_clip_norm=tc.grad_clip_norm)
+                                grad_clip_norm=tc.grad_clip_norm,
+                                momentum_dtype=tc.momentum_dtype)
     cs_tables = None
     if tc.run_mode == "train_cs":
         if artifacts is None or artifacts.cs_aligned is None:
