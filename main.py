@@ -212,7 +212,21 @@ def main():
             mesh=mesh, featurize=featurize)
     elif run_mode in ("eval", "eval_cs"):
         from scene_graph_commonsense_tpu.eval import engines
+        from scene_graph_commonsense_tpu.train import checkpoint as ckpt_lib
         use_cs = run_mode == "eval_cs"
+        # load the trained relation classifier (reference
+        # evaluate.py:65-76); eval_cs evaluates the CS-trained weights
+        name = ckpt_lib.checkpoint_name(
+            cfg.model.hierarchical_pred,
+            "train_cs" if use_cs else "train",
+            cfg.data.supcat_clustering, cfg.training.test_epoch)
+        ckpt = os.path.join(cfg.training.checkpoint_path, name)
+        if os.path.exists(ckpt):
+            params = ckpt_lib.restore(ckpt, params)
+            print(f"Loaded relation checkpoint {ckpt}")
+        else:
+            print(f"WARNING: relation checkpoint {ckpt} not found — "
+                  f"evaluating randomly initialized weights")
         batches = test_fn(0)
         if featurize is not None:
             batches = map(featurize, batches)
@@ -250,6 +264,19 @@ def main():
     elif run_mode == "prepare_cs":
         from scene_graph_commonsense_tpu.commonsense.pipeline import (
             run_prepare_cs)
+        from scene_graph_commonsense_tpu.train import checkpoint as ckpt_lib
+        # prepare_cs queries the LLM about the *trained* baseline model's
+        # top predictions (reference main.py:106-114)
+        name = ckpt_lib.checkpoint_name(
+            cfg.model.hierarchical_pred, "train",
+            cfg.data.supcat_clustering, cfg.training.test_epoch)
+        ckpt = os.path.join(cfg.training.checkpoint_path, name)
+        if os.path.exists(ckpt):
+            params = ckpt_lib.restore(ckpt, params)
+            print(f"Loaded relation checkpoint {ckpt}")
+        else:
+            print(f"WARNING: relation checkpoint {ckpt} not found — "
+                  f"prepare_cs will query predictions of random weights")
         run_prepare_cs(cfg, model, params, train_fn(0), artifacts)
     else:
         sys.exit(f"unhandled run_mode {run_mode}")

@@ -89,6 +89,21 @@ def fit(cfg, model, params, train_batches_fn: Callable[[int], Iterable],
                              "triplet tables (run prepare_cs first)")
         cs_tables = (artifacts.cs_aligned, artifacts.cs_violated)
 
+    # resume: load the previous epoch's weights (reference
+    # train_test.py:83-94 restores only the state_dict — the momentum
+    # buffer starts fresh, matching torch.save of model weights alone)
+    if tc.continue_train and tc.start_epoch > 0:
+        name = ckpt_lib.checkpoint_name(
+            cfg.model.hierarchical_pred, tc.run_mode,
+            cfg.data.supcat_clustering, tc.start_epoch - 1)
+        path = os.path.join(tc.checkpoint_path, name)
+        if os.path.exists(path):
+            params = ckpt_lib.restore(path, params)
+            log_fn(f"Resumed relation weights from {path}")
+        else:
+            log_fn(f"WARNING: continue_train set but {path} not found — "
+                   f"training from scratch")
+
     step = engine.make_train_step(model, cfg, opt, class_weights(
         cfg.data.dataset), cs_tables=cs_tables, mesh=mesh,
         chunk_size=chunk_size)
