@@ -124,3 +124,38 @@ def test_cli_synthetic_smoke(tmp_path):
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     assert out.returncode == 0, out.stderr[-2000:]
     assert "recall" in out.stdout
+
+
+def test_checkpoint_restore(tmp_path, rng):
+    """continue_train + start_epoch resumes from the previous epoch's
+    checkpoint (reference train_test.py:83-94)."""
+    from scene_graph_commonsense_tpu.train.loop import fit
+
+    cfg = tiny_cfg()
+    cfg = cfg.replace(training=dataclasses.replace(
+        cfg.training, num_epoch=1, print_freq=1, eval_freq=0,
+        checkpoint_path=str(tmp_path) + "/",
+        result_path=str(tmp_path) + "/results/"))
+    model = make_relation_classifier(cfg)
+    params = init_params(cfg, model, rng)
+    train_batches = [tiny_batch(rng, cfg)]
+    state0 = fit(cfg, model, params,
+                 train_batches_fn=lambda e: iter(train_batches),
+                 steps_per_epoch=1, log_fn=lambda s: None)
+    trained = jax.device_get(state0.params)
+
+    # resume run: epoch 1 must start from the epoch-0 checkpoint
+    cfg2 = cfg.replace(training=dataclasses.replace(
+        cfg.training, num_epoch=2, start_epoch=1, continue_train=True,
+        checkpoint_path=str(tmp_path) + "/",
+        result_path=str(tmp_path) + "/results/"))
+    fresh = init_params(cfg, model, rng)
+    lines = []
+    state1 = fit(cfg2, model, fresh,
+                 train_batches_fn=lambda e: iter([]),  # no batches: params
+                 steps_per_epoch=1, log_fn=lines.append)  # stay as loaded
+    assert any("Resumed relation weights" in ln for ln in lines)
+    diffs = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        jax.device_get(state1.params), trained)
+    assert max(jax.tree.leaves(diffs)) == 0.0
