@@ -21,6 +21,13 @@ import time
 
 import numpy as np
 
+# Measurement note: this loop is honest on the axon TPU tunnel (where
+# jax.block_until_ready does NOT block) because each step's donated
+# TrainState input depends on the previous step's output — the dispatch
+# itself serializes.  The measured ms/step matches the profiler's device
+# op time (tools/profile_step.py).  Eval-side benches need the chained
+# method of tools/bench_eval.py instead.
+
 REFERENCE_IMG_PER_SEC_PER_CHIP = 10.0
 
 BATCH_SIZE = 12

@@ -79,7 +79,9 @@ def read_object_types(path: str, name2cid: Dict[str, int],
     out: Dict[int, List[int]] = {}
     with open(path) as f:
         for line in f:
-            parts = line.strip("\n").strip("_").split(",")
+            # reference parity: strip('\n').strip('_')
+            # (dataset_utils.py:657); also tolerate CRLF files
+            parts = line.strip("\r\n").strip("_").split(",")
             if parts[0] not in name2cid:
                 continue
             out[name2cid[parts[0]]] = [super_idx[p] for p in parts[1:]
@@ -102,9 +104,10 @@ def _merge_iou(b1, b2) -> float:
         return 0.0
     lo = np.minimum(b1, b2)
     hi = np.maximum(b1, b2)
-    union = float((hi[2] - lo[0]) * (hi[3] - lo[1]))
     inter = float((lo[2] - hi[0]) * (lo[3] - hi[1]))
-    return inter / union
+    area1 = float((b1[2] - b1[0]) * (b1[3] - b1[1]))
+    area2 = float((b2[2] - b2[0]) * (b2[3] - b2[1]))
+    return inter / (area1 + area2 - inter)
 
 
 def _inside(b1, b2) -> bool:
@@ -211,6 +214,25 @@ def merge_duplicate_boxes(obj_data) -> None:
             obj["ids"] = ids
             kept.append(obj)
         img["objects"] = kept
+        img["_id_remap"] = {objs[j]["object_id"]: objs[i]["object_id"]
+                            for i, members in merged_into.items()
+                            for j in members}
+
+
+def remap_merged_relationships(obj_data, rel_data) -> None:
+    """Points relationship endpoints at the surviving box of each merge
+    group.  Without this every relationship referencing an absorbed
+    object_id is silently dropped by the id lookup downstream
+    (build_image_annotation's id_pos.get)."""
+    for objs_img, rels_img in zip(obj_data, rel_data):
+        remap = objs_img.pop("_id_remap", {})
+        if not remap:
+            continue
+        for rel in rels_img["relationships"]:
+            for side in ("subject", "object"):
+                oid = rel[side]["object_id"]
+                if oid in remap:
+                    rel[side]["object_id"] = remap[oid]
 
 
 # ---------------------------------------------------------------------------
@@ -236,6 +258,7 @@ def build_instances_dataset(raw_img_data, raw_obj_data, raw_relation_data,
                    for img in raw_img_data}
     filter_small_boxes(raw_obj_data, image_areas, area_frac)
     merge_duplicate_boxes(raw_obj_data)
+    remap_merged_relationships(raw_obj_data, raw_relation_data)
 
     obj_list = set(read_list(object_list_path))
     obj_counter = Counter(

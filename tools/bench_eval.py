@@ -1,0 +1,155 @@
+"""Inference-path throughput benchmarks on the real chip.
+
+Measures the serving-relevant configs of BASELINE.json at real model
+dimensions on synthetic inputs (bench.py keeps the single-line training
+headline; this tool reports the eval side):
+
+  * predcls  — relation eval step over precomputed features + GT objects
+  * detect   — full DETR-101 forward + static postprocess/NMS
+  * sgdet    — detect + relation eval chained (the full SGDET pipeline)
+
+Measurement note: on the axon TPU tunnel `jax.block_until_ready` does not
+actually block, so naive dispatch loops measure nothing.  Each metric runs
+a dependency-chained loop (step i+1 consumes a scalar from step i, so the
+device serializes) at two lengths; the per-step time is the difference,
+which cancels the tunnel's fixed sync latency.  The training bench doesn't
+need this because its donated TrainState already forces serialization.
+
+Usage: python tools/bench_eval.py [predcls|detect|sgdet|all]
+Prints one JSON line per mode.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+BATCH = 12
+STEPS = 10
+SHORT = 2
+
+
+def chained_rate(run_step, n_long: int = STEPS, n_short: int = SHORT):
+    """run_step(i, carry) -> scalar jax value; returns seconds/step from
+    the (long - short) chained-run difference."""
+
+    def chain(n):
+        carry = None
+        for i in range(n):
+            carry = run_step(i, carry)
+        return float(carry)           # scalar fetch syncs the chain
+
+    chain(n_short)                    # warmup (compiles both carry paths)
+    t0 = time.perf_counter()
+    chain(n_short)
+    t_short = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    chain(n_long)
+    t_long = time.perf_counter() - t0
+    return (t_long - t_short) / (n_long - n_short)
+
+
+MODES = ("predcls", "detect", "sgdet", "all")
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if mode not in MODES:
+        sys.exit(f"unknown mode {mode!r}; expected one of {MODES}")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from scene_graph_commonsense_tpu.config import derive
+    from scene_graph_commonsense_tpu.data.synthetic import synthetic_batch
+    from scene_graph_commonsense_tpu.eval import engines
+    from scene_graph_commonsense_tpu.models.detr import make_detr
+    from scene_graph_commonsense_tpu.models.relation_head import (
+        make_relation_classifier)
+    from scene_graph_commonsense_tpu.train import engine as engine_lib
+
+    cfg = derive("vg", hierarchical_pred=True,
+                 training={"batch_size": BATCH, "pair_capacity": 1024})
+    model = make_relation_classifier(cfg)
+    s = cfg.model.feature_size
+    x0 = jnp.zeros((2, s, s, cfg.model.num_img_feature + 1))
+    c0 = jnp.zeros(2, jnp.int32)
+    s0 = jnp.zeros((2, cfg.model.num_super_classes))
+    params = model.init(jax.random.PRNGKey(0), x0, x0, c0, c0, s0, s0)
+
+    rng = np.random.default_rng(0)
+    batches = [{k: jnp.asarray(v) for k, v in synthetic_batch(
+        rng, batch_size=BATCH, max_objects=cfg.data.max_objects,
+        feature_size=s, num_channels=cfg.model.num_img_feature,
+        mean_objects=8.0, with_aug=False).items()}
+        for _ in range(STEPS)]
+
+    results = {}
+    if mode in ("predcls", "all"):
+        estep = engine_lib.make_eval_step(model, cfg)
+
+        def pc_step(i, carry):
+            b = dict(batches[i % STEPS])
+            if carry is not None:
+                b["features"] = b["features"] + carry * 0
+            return estep(params, b)["relation"][0, 0]
+
+        dt = chained_rate(pc_step)
+        results["predcls_eval"] = BATCH / dt
+
+    if mode in ("detect", "sgdet", "all"):
+        detr = make_detr(cfg)
+        detr_params = detr.init(jax.random.PRNGKey(0),
+                                jnp.zeros((1, 64, 64, 3)),
+                                jnp.ones((1, 64, 64), bool))
+        size = cfg.model.image_size
+        mask = jnp.ones((BATCH, size, size), bool)
+        key = jax.random.PRNGKey(0)
+        dbatches = [jax.random.normal(jax.random.fold_in(key, i),
+                                      (BATCH, size, size, 3), jnp.float32)
+                    for i in range(STEPS)]
+        detect_fn = engines.make_detr_detect_fn(cfg, detr, detr_params,
+                                                image_key="image_nonsq")
+
+        if mode in ("detect", "all"):
+            def det_step(i, carry):
+                img = dbatches[i % STEPS]
+                if carry is not None:
+                    img = img + carry * 0
+                det = detect_fn({"image_nonsq": img, "pixel_mask": mask})
+                return det["boxes"][0, 0, 0]
+
+            dt = chained_rate(det_step)
+            results["detection"] = BATCH / dt
+
+        if mode in ("sgdet", "all"):
+            estep = engine_lib.make_eval_step(model, cfg)
+            sub2super = jnp.zeros(
+                (cfg.model.num_classes, cfg.model.num_super_classes),
+                jnp.float32)
+
+            def sgdet_step(i, carry):
+                img = dbatches[i % STEPS]
+                if carry is not None:
+                    img = img + carry * 0
+                det = detect_fn({"image_nonsq": img, "pixel_mask": mask})
+                rb = dict(batches[i % STEPS])
+                rb["cats"] = det["cats"]
+                rb["boxes"] = det["boxes"]
+                rb["valid"] = det["valid"]
+                rb["super_mh"] = sub2super[det["cats"]]
+                return estep(params, rb)["relation"][0, 0]
+
+            dt = chained_rate(sgdet_step)
+            results["sgdet_pipeline"] = BATCH / dt
+
+    for k, v in results.items():
+        print(json.dumps({"metric": f"{k}_images_per_sec_per_chip",
+                          "value": round(v, 2), "unit": "img/s"}))
+
+
+if __name__ == "__main__":
+    main()
