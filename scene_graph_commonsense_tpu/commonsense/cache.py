@@ -28,6 +28,11 @@ class EdgeCache:
 
     def put(self, key, value):
         if key in self.cache:
+            # documented deviation: the reference only bumps frequency and
+            # keeps the stale value (query_llm.py:25-30), permanently
+            # pinning an edge's first-ever vote across re-queries; here a
+            # re-queried edge's fresh vote replaces the old one
+            self.cache[key] = value
             self.cache.move_to_end(key)
             self.access_frequency[key] += 1
         else:
@@ -46,8 +51,12 @@ class EdgeCache:
 
 
 class ImageCache:
-    """Caches base64-encoded (optionally union-box-cropped) JPEGs keyed by
-    path (reference query_llm.py:161-181)."""
+    """Caches base64-encoded (optionally union-box-cropped) JPEGs.
+
+    Documented deviation: the reference caches by path alone
+    (query_llm.py:167-181), so every edge after the first in an image
+    receives the FIRST edge's crop and GPT-4V judges the wrong region;
+    here the key includes the crop box."""
 
     def __init__(self, image_size: int = 1024, feature_size: int = 32):
         self.cache = {}
@@ -55,18 +64,20 @@ class ImageCache:
         self.feature_size = feature_size
 
     def get_image(self, image_path: str, bbox: Optional[list] = None) -> str:
-        if image_path not in self.cache:
+        key = (image_path, tuple(int(v) for v in bbox)
+               if bbox is not None else None)
+        if key not in self.cache:
             from PIL import Image
             img = Image.open(image_path).convert("RGB")
             img = img.resize((self.image_size, self.image_size))
             if bbox is not None:
-                x1, x2, y1, y2 = (int(v) for v in bbox)
+                x1, x2, y1, y2 = key[1]
                 img = img.crop((x1, y1, x2, y2))
             buf = io.BytesIO()
             img.save(buf, format="JPEG")
-            self.cache[image_path] = base64.b64encode(
+            self.cache[key] = base64.b64encode(
                 buf.getvalue()).decode("utf-8")
-        return self.cache[image_path]
+        return self.cache[key]
 
 
 def probabilistic_cache_lookup(cache: EdgeCache, edge: str,

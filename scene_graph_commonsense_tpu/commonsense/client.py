@@ -54,7 +54,9 @@ def build_prompts(edges: Sequence[str]) -> List[str]:
 def majority_vote(completions: Sequence[str], num_edges: int) -> List[int]:
     """Weighted vote over the 4 paraphrases per edge -> +1 / -1 (reference
     query_llm.py:121-157): prompt 0 counts double; prompts 2 and 3 are
-    negated, and a non-answer counts as a No (i.e. a Yes for the edge)."""
+    negated.  A non-answer counts AGAINST the edge on every prompt
+    (reference parity: the else branches at query_llm.py:136/146 both
+    increment no_votes)."""
     votes = []
     k = len(PROMPT_VARIATIONS)
     for i in range(num_edges):
@@ -142,9 +144,14 @@ def query_edges_vision(edges: Sequence[str], image_path: str,
     from scene_graph_commonsense_tpu.ops.boxes import union_box
     import numpy as np
     votes = []
+    # grid boxes -> resized-image coordinates.  Documented deviation: the
+    # reference multiplies by feature_size (query_llm.py:212-213), which
+    # is correct only when image_size == feature_size**2 (1024 == 32**2 at
+    # its defaults); the general factor is image_size / feature_size.
+    scale = image_cache.image_size / image_cache.feature_size
     for edge, sb, ob in zip(edges, sub_boxes, obj_boxes):
-        sb = np.asarray(sb) * image_cache.feature_size
-        ob = np.asarray(ob) * image_cache.feature_size
+        sb = np.asarray(sb) * scale
+        ob = np.asarray(ob) * scale
         ub = np.asarray(union_box(sb, ob))
         if os.path.exists(image_path):
             b64 = image_cache.get_image(image_path, bbox=ub.tolist())

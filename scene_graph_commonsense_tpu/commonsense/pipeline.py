@@ -207,7 +207,8 @@ def run_prepare_cs(cfg, model, params, batches, artifacts=None,
             break
         annot_paths = batch.get("annot_path") or [
             f"batch{bi}_img{i}" for i in range(len(batch["cats"]))]
-        run_batch = {k: v for k, v in batch.items() if k != "annot_path"}
+        from scene_graph_commonsense_tpu.eval.engines import _model_batch
+        run_batch = _model_batch(batch)
         out = jax.tree.map(np.asarray, estep(params, run_batch))
         cand = build_candidates(
             out["relation"], out["connectivity"], out["super_relation"],

@@ -103,7 +103,8 @@ class OIV6Dataset:
 
 
 def oiv6_batches(dataset: OIV6Dataset, batch_size: int, seed: int = 0,
-                 shuffle: bool = True) -> Iterator[Dict]:
+                 shuffle: bool = True, drop_last: bool = False
+                 ) -> Iterator[Dict]:
     from scene_graph_commonsense_tpu.data.dataset import collate
     rng = np.random.default_rng(seed)
     order = np.arange(len(dataset))
@@ -119,3 +120,14 @@ def oiv6_batches(dataset: OIV6Dataset, batch_size: int, seed: int = 0,
         if len(buf) == batch_size:
             yield collate(buf)
             buf = []
+    if buf and not drop_last:
+        # final partial batch: pad to the static batch size by repeating
+        # the first example with all-invalid objects (contributes nothing
+        # to the evaluator), so no test image is silently dropped
+        import copy
+        while len(buf) < batch_size:
+            filler = copy.deepcopy(buf[0])
+            filler["valid"] = np.zeros_like(filler["valid"])
+            filler["rel"] = np.full_like(filler["rel"], -1)
+            buf.append(filler)
+        yield collate(buf)

@@ -24,25 +24,42 @@ def prefetch_iterator(batches: Iterable[Dict], prefetch: int = 2,
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     done = object()
     err_box = []
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put that gives up when the consumer is gone, so an
+        # abandoned iterator (e.g. eval with max_batches) cannot pin the
+        # producer thread and its queued device batches forever
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.5)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
             for b in batches:
-                q.put(transform(b) if transform is not None else b)
+                if not _put(transform(b) if transform is not None else b):
+                    return
         except BaseException as e:   # surface worker errors to the consumer
             err_box.append(e)
         finally:
-            q.put(done)
+            _put(done)
 
     t = threading.Thread(target=producer, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if item is done:
-            if err_box:
-                raise err_box[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is done:
+                if err_box:
+                    raise err_box[0]
+                return
+            yield item
+    finally:
+        stop.set()
 
 
 class NativeRecordPipeline:

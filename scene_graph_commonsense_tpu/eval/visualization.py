@@ -20,11 +20,15 @@ from scene_graph_commonsense_tpu.eval.recall import Candidates, Targets
 
 
 def _to_image_space(box, feature_size, height, width):
-    """(x_min, x_max, y_min, y_max) grid box -> ceil'd image coords
-    (reference evaluator.py:487-495)."""
+    """(x_min, x_max, y_min, y_max) grid box -> ceil'd image coords.
+
+    Documented deviation: the reference scales slots 0-1 by height and
+    2-3 by width (evaluator.py:487-492) even though its own bbox layout
+    is x-first (dataset_utils.py:130) — distorting every dump on
+    non-square images; here x scales by width and y by height."""
     b = np.asarray(box, np.float64) / feature_size
-    return [int(np.ceil(b[0] * height)), int(np.ceil(b[1] * height)),
-            int(np.ceil(b[2] * width)), int(np.ceil(b[3] * width))]
+    return [int(np.ceil(b[0] * width)), int(np.ceil(b[1] * width)),
+            int(np.ceil(b[2] * height)), int(np.ceil(b[3] * height))]
 
 
 def visualization_record(cand: Candidates, tgt: Targets, image: int,

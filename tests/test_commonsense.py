@@ -236,5 +236,8 @@ def test_image_cache_crop(tmp_path, rng):
     cache = ImageCache(image_size=32, feature_size=32)
     b64 = cache.get_image(img_path, bbox=[4, 20, 4, 20])
     assert isinstance(b64, str) and len(b64) > 0
-    # cached (same key returns identical string without re-reading)
-    assert cache.get_image(img_path) is b64
+    # cached: the same (path, bbox) key returns the identical object
+    assert cache.get_image(img_path, bbox=[4, 20, 4, 20]) is b64
+    # a different crop is its own entry (documented deviation: the
+    # reference keys by path alone and reuses the first crop)
+    assert cache.get_image(img_path) is not b64
