@@ -195,6 +195,7 @@ def run_prepare_cs(cfg, model, params, batches, artifacts=None,
         from scene_graph_commonsense_tpu.commonsense.client import (
             openai_completion_transport)
         transport = openai_completion_transport()
+    out_dir_overridden = out_dir is not None
     out_dir = out_dir or os.path.join(cfg.data.annot_dir,
                                       f"cs_top{top_k}")
     cache = EdgeCache()
@@ -243,6 +244,9 @@ def run_prepare_cs(cfg, model, params, batches, artifacts=None,
                                    np.asarray(batch["cats"])[image],
                                    np.asarray(batch["valid"])[image],
                                    cfg.training.eval_mode)
-    path = store.save(os.path.join(cfg.data.artifacts_dir,
-                                   "commonsense_triplets.npz"))
+    # when the caller redirects the per-image files, the final table goes
+    # with them — a test/smoke run must not clobber the converted artifact
+    # in cfg.data.artifacts_dir
+    table_dir = out_dir if out_dir_overridden else cfg.data.artifacts_dir
+    path = store.save(os.path.join(table_dir, "commonsense_triplets.npz"))
     return path

@@ -202,11 +202,27 @@ def rel_index_map(clustering: str) -> np.ndarray:
     return CLUSTER_INDEX_MAPS[clustering]
 
 
-def class_weights(dataset: str = "vg") -> np.ndarray:
+def class_weights(dataset: str = "vg",
+                  clustering: str = "motif") -> np.ndarray:
     """Relation-loss class weights: 1 - count / sum(count)
-    (reference train_test.py:105-106)."""
-    counts = VG_REL_COUNTS_SCAT if dataset == "vg" else OIV6_REL_COUNTS
-    counts = counts.astype(np.float64)
+    (reference train_test.py:105-106), in the SAME predicate order the
+    dataset emits targets in — cluster order for VG
+    (data/dataset.py applies rel_index_map) and super-category order for
+    OIv6 (data/oiv6.py applies OIV6_REORDER_BY_SUPER).  Using the
+    unpermuted counts would weight each class by a different predicate's
+    frequency.
+
+    Documented deviation: counts are derived by scattering the frequency-
+    order table through the permutation rather than hand-copied; the
+    reference's reordered VG table (utils.py:258-263) carries a
+    transcription typo (2312 appears twice, 2380 is dropped at slot 19)."""
+    if dataset == "vg":
+        m = rel_index_map(clustering)
+        counts = np.zeros(len(m), np.float64)
+        counts[m] = VG_REL_COUNTS_FREQ
+    else:
+        counts = np.zeros(len(OIV6_REORDER_BY_SUPER), np.float64)
+        counts[OIV6_REORDER_BY_SUPER] = OIV6_REL_COUNTS
     return (1.0 - counts / counts.sum()).astype(np.float32)
 
 

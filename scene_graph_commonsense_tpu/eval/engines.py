@@ -112,10 +112,14 @@ def _results(cfg, ev, ev3) -> Dict:
 def run_eval_pc(cfg, model, params, batches: Iterable[Dict],
                 artifacts=None, use_cs: bool = False,
                 max_batches: Optional[int] = None,
-                on_batch: Optional[Callable] = None) -> Dict:
-    """PredCLS: GT boxes + labels, overlap-filtered pair grid."""
+                on_batch: Optional[Callable] = None, estep=None) -> Dict:
+    """PredCLS: GT boxes + labels, overlap-filtered pair grid.  Pass a
+    prebuilt `estep` to reuse its jit cache across calls (the per-epoch
+    test pass does — a fresh jit wrapper re-traces and recompiles the
+    whole pair-grid forward every epoch otherwise)."""
     ev, ev3 = _make_evaluators(cfg, artifacts, predcls=True)
-    estep = engine_lib.make_eval_step(model, cfg)
+    if estep is None:
+        estep = engine_lib.make_eval_step(model, cfg)
     for i, batch in enumerate(batches):
         if max_batches is not None and i >= max_batches:
             break

@@ -38,6 +38,7 @@ import jax.numpy as jnp
 
 from scene_graph_commonsense_tpu.models.context import (
     MotifsContext, TransformerContext, VCTreeContext)
+from scene_graph_commonsense_tpu.models.relation_head import BayesianHead
 
 
 class FrequencyBias(nn.Module):
@@ -56,35 +57,10 @@ class FrequencyBias(nn.Module):
                         embedding_init=nn.initializers.zeros)(idx)
 
 
-class BiasedBayesHead(nn.Module):
-    """BayesHead (reference model.py:9-34 semantics) accepting an additive
-    per-predicate bias row, split across the three branch segments (see
-    module docstring for the composition rule)."""
-    num_geometric: int = 15
-    num_possessive: int = 11
-    num_semantic: int = 24
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, h, bias: Optional[jnp.ndarray] = None):
-        ng, npos = self.num_geometric, self.num_possessive
-        sup_logits = nn.Dense(3, dtype=self.dtype, name="fc5")(
-            h).astype(jnp.float32)
-        sizes = [ng, npos, self.num_semantic]
-        segs = (None, None, None) if bias is None else (
-            bias[:, :ng], bias[:, ng:ng + npos], bias[:, ng + npos:])
-        if bias is not None:
-            sup_logits = sup_logits + jnp.stack(
-                [jax.nn.logsumexp(s, axis=1) for s in segs], axis=1)
-        sup = nn.log_softmax(sup_logits)
-        branches = []
-        for i, n in enumerate(sizes):
-            logits = nn.Dense(n, dtype=self.dtype, name=f"fc3_{i + 1}")(
-                h).astype(jnp.float32)
-            if segs[i] is not None:
-                logits = logits + segs[i]
-            branches.append(nn.log_softmax(logits) + sup[:, i:i + 1])
-        return branches[0], branches[1], branches[2], sup
+# The hierarchical head with optional frequency bias IS the standalone
+# BayesianHead (models/relation_head.py) — one implementation to keep in
+# sync, with its T1/T2/T3 temperature support intact.
+BiasedBayesHead = BayesianHead
 
 
 _CONTEXTS = {"motifs": MotifsContext, "transformer": TransformerContext,
@@ -156,8 +132,10 @@ class HierarchicalPredictor(nn.Module):
             bias = FrequencyBias(self.num_classes, nr, name="freq")(
                 ls.reshape(-1), lo.reshape(-1))
 
-        r1, r2, r3, sup = BiasedBayesHead(
-            self.num_geometric, self.num_possessive, self.num_semantic,
+        r1, r2, r3, sup = BayesianHead(
+            num_geometric=self.num_geometric,
+            num_possessive=self.num_possessive,
+            num_semantic=self.num_semantic,
             dtype=self.dtype, name="head")(h, bias)
         # relatedness head (this framework's connectivity term; SGB models
         # carry the equivalent signal as a background predicate class)

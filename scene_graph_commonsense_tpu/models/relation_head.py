@@ -56,19 +56,32 @@ class BayesianHead(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, h: jnp.ndarray):
-        sup = nn.log_softmax(
-            _at_least_f32(nn.Dense(3, dtype=self.dtype, name="fc5")(h)))
+    def __call__(self, h: jnp.ndarray, bias=None):
+        """Optional `bias` (P, num_relations): an additive per-predicate
+        logit row (e.g. Motifs' frequency prior), split across the three
+        branch segments; each segment's logsumexp shifts the
+        super-category logits so the composed joint equals
+        softmax(logits + bias) marginalized the hierarchical way."""
+        ng, npos = self.num_geometric, self.num_possessive
+        sup_logits = _at_least_f32(
+            nn.Dense(3, dtype=self.dtype, name="fc5")(h))
+        segs = (None, None, None) if bias is None else (
+            bias[:, :ng], bias[:, ng:ng + npos], bias[:, ng + npos:])
+        if bias is not None:
+            sup_logits = sup_logits + jnp.stack(
+                [jax.nn.logsumexp(s, axis=1) for s in segs], axis=1)
+        sup = nn.log_softmax(sup_logits)
         branches = []
         for i, (n, t) in enumerate([(self.num_geometric, self.T1),
                                     (self.num_possessive, self.T2),
                                     (self.num_semantic, self.T3)]):
-            logits = nn.Dense(n, dtype=self.dtype, name=f"fc3_{i + 1}")(h)
+            logits = _at_least_f32(
+                nn.Dense(n, dtype=self.dtype, name=f"fc3_{i + 1}")(h))
+            if segs[i] is not None:
+                logits = logits + segs[i]
             # log p(rel, super) = log p(rel | super) + log p(super)
             # (reference model.py:27-33)
-            branches.append(
-                nn.log_softmax(_at_least_f32(logits) / t)
-                + sup[:, i:i + 1])
+            branches.append(nn.log_softmax(logits / t) + sup[:, i:i + 1])
         return branches[0], branches[1], branches[2], sup
 
 

@@ -142,7 +142,7 @@ def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
 
 def strip_ddp_prefix(state: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Removes DDP's 'module.' prefixes (reference utils.py:207-214)."""
-    return {k.replace("module.", ""): v for k, v in state.items()}
+    return {k.removeprefix("module."): v for k, v in state.items()}
 
 
 def convert_relation_state_dict(state: Mapping[str, np.ndarray],

@@ -129,6 +129,11 @@ class CommonsenseValidator:
         returns the new scores (callers re-sort)."""
         scores = np.asarray(scores, np.float64).copy()
         order = np.argsort(-scores, kind="stable")[:self.top_k]
+        # already-filtered (-inf) candidates would waste paid LLM queries
+        # and cache junk votes
+        order = order[np.isfinite(scores[order])]
+        if len(order) == 0:
+            return scores
         votes = self.query(np.asarray(sub_cats)[order],
                            np.asarray(rels)[order],
                            np.asarray(obj_cats)[order])

@@ -75,7 +75,7 @@ def _chunked_pair_trunk(model: RelationClassifier, params, a, b, packed,
     gathered tensors never materialize at full pair capacity (HBM guard:
     remat + scan trades a little recompute for a flat memory profile)."""
     p_cap = packed.flat_sub.shape[0]
-    if chunk_size <= 0 or chunk_size >= p_cap or p_cap % chunk_size != 0:
+    if chunk_size <= 0 or chunk_size >= p_cap:
         a_s = _gather_streams(a, packed.flat_sub)
         b_o = _gather_streams(b, packed.flat_obj)
         return model.apply(
@@ -83,9 +83,16 @@ def _chunked_pair_trunk(model: RelationClassifier, params, a, b, packed,
             method=RelationClassifier.pair_trunk,
             rngs={"dropout": dropout_rng} if dropout_rng is not None else None)
 
-    n_chunks = p_cap // chunk_size
-    subs = packed.flat_sub.reshape(n_chunks, chunk_size)
-    objs = packed.flat_obj.reshape(n_chunks, chunk_size)
+    # pad the index buffers up to a whole number of chunks (index 0 is a
+    # safe gather target; the padded rows' outputs are sliced off below) —
+    # silently falling back to the unchunked path would materialize the
+    # full-capacity gathered tensors the chunking exists to avoid
+    n_chunks = -(-p_cap // chunk_size)
+    pad = n_chunks * chunk_size - p_cap
+    flat_sub = jnp.pad(packed.flat_sub, (0, pad))
+    flat_obj = jnp.pad(packed.flat_obj, (0, pad))
+    subs = flat_sub.reshape(n_chunks, chunk_size)
+    objs = flat_obj.reshape(n_chunks, chunk_size)
 
     if dropout_rng is None:
         @jax.checkpoint
@@ -110,7 +117,7 @@ def _chunked_pair_trunk(model: RelationClassifier, params, a, b, packed,
                 rngs={"dropout": rng})
 
         h = jax.lax.map(one_chunk, (subs, objs, rngs))
-    return h.reshape(p_cap, -1)
+    return h.reshape(n_chunks * chunk_size, -1)[:p_cap]
 
 
 def forward_pairs(model: RelationClassifier, params, batch: Dict[str, Any],

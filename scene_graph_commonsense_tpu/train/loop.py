@@ -105,13 +105,21 @@ def fit(cfg, model, params, train_batches_fn: Callable[[int], Iterable],
                    f"training from scratch")
 
     step = engine.make_train_step(model, cfg, opt, class_weights(
-        cfg.data.dataset), cs_tables=cs_tables, mesh=mesh,
-        chunk_size=chunk_size)
+        cfg.data.dataset, cfg.data.supcat_clustering),
+        cs_tables=cs_tables, mesh=mesh, chunk_size=chunk_size)
     opt_state = opt.init(params)
+    # seed the schedule count at the resume point so the absolute-boundary
+    # LR schedule stays aligned (a resumed run past a scheduler epoch must
+    # not train at the undecayed rate)
+    resume_step = tc.start_epoch * steps_per_epoch
+    if resume_step:
+        import optax.tree_utils as otu
+        opt_state = otu.tree_set(opt_state,
+                                 count=jnp.int32(resume_step))
     if mesh is not None:
         params = replicate_tree(mesh, params)
         opt_state = replicate_tree(mesh, opt_state)
-    state = engine.TrainState(params, opt_state, jnp.int32(0))
+    state = engine.TrainState(params, opt_state, jnp.int32(resume_step))
 
     recorder = ResultRecorder(tc.result_path, "train_results",
                               fresh=not tc.continue_train)
@@ -138,6 +146,10 @@ def fit(cfg, model, params, train_batches_fn: Callable[[int], Iterable],
     host_step = int(state.step)
     for epoch in range(tc.start_epoch, tc.num_epoch):
         log_fn(f"Start Training... EPOCH {epoch} / {tc.num_epoch}")
+        # per-epoch train recall, like the reference's in-epoch accumulation
+        # (train_utils.py:105-110) — without the reset the printed recall
+        # would be a cumulative average over all epochs
+        train_eval.reset()
         t0 = time.time()
         for batch_count, batch in enumerate(train_batches_fn(epoch)):
             if featurize is not None:
@@ -200,7 +212,8 @@ def fit(cfg, model, params, train_batches_fn: Callable[[int], Iterable],
             if featurize is not None:
                 test_batches = map(featurize, test_batches)
             res = run_eval_pc(cfg, model, state.params, test_batches,
-                              artifacts=artifacts, max_batches=max_batches)
+                              artifacts=artifacts, max_batches=max_batches,
+                              estep=train_estep)
             log_fn(format_test_line(epoch, res["recall"],
                                     res["mean_recall"],
                                     res.get("recall_zs")))

@@ -115,7 +115,9 @@ def connectivity_loss(logits: jnp.ndarray, connected: jnp.ndarray,
         num_not_connected=not_connected.sum(),
         num_connected_pred=pred_pos.sum(),
         precision_hits=(pred_pos & connected).sum(),
-        recall_hits=(jnp.round(prob).astype(bool) & connected).sum())
+        # same TP count as precision_hits; keep one thresholding rule
+        # (jnp.round's half-to-even made prob==0.5 count inconsistently)
+        recall_hits=((prob >= 0.5) & connected).sum())
 
 
 def commonsense_loss(relation: jnp.ndarray, sub_cats: jnp.ndarray,

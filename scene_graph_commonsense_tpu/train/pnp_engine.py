@@ -237,10 +237,15 @@ def fit_predictor(cfg, family: str,
         log_fn(f"[pnp:{family}] Start Training... EPOCH {epoch} / "
                f"{tc.num_epoch}")
         for i, batch in enumerate(train_batches_fn(epoch)):
+            batch = dict(batch)
+            # drop the augmented view BEFORE featurize: the pnp loss never
+            # consumes it, and encoding it would waste a full frozen-DETR
+            # forward per batch
+            batch.pop("image_aug", None)
+            batch.pop("features_aug", None)
             if featurize is not None:
                 batch = featurize(batch)
             batch.pop("annot_path", None)
-            batch.pop("features_aug", None)
             state, metrics = step(state, batch, rng)
             if i % tc.print_freq == 0:
                 m = jax.tree.map(float, metrics)
@@ -264,6 +269,7 @@ def fit_predictor(cfg, family: str,
 def _strip(batch):
     batch = dict(batch)
     batch.pop("annot_path", None)
+    batch.pop("image_aug", None)      # before featurize: unused by pnp
     batch.pop("features_aug", None)
     return batch
 
@@ -294,9 +300,9 @@ def run_eval_pc_predictor(cfg, predictor, params,
     for i, batch in enumerate(batches):
         if max_batches is not None and i >= max_batches:
             break
+        batch = _strip(batch)
         if featurize is not None:
             batch = featurize(batch)
-        batch = _strip(batch)
         out = jax.tree.map(np.asarray, estep(params, batch))
         cand = build_candidates(
             out["relation"], out["connectivity"], out["super_relation"],
