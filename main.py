@@ -83,13 +83,23 @@ def synthetic_batches(cfg, n_batches, seed=0, with_aug=True):
 
 
 def real_batches(cfg, training: bool):
-    from scene_graph_commonsense_tpu.data.dataset import (
-        VGDataset, batches_from_dataset)
     annot = (cfg.data.annotation_train if training
              else cfg.data.annotation_test)
     if not os.path.exists(annot):
         sys.exit(f"annotation file {annot} not found; run the preprocessing "
                  f"pipeline (tools/preprocess_vg.py) or use --synthetic N")
+    if cfg.data.dataset == "oiv6":
+        from scene_graph_commonsense_tpu.data.oiv6 import (
+            OIV6Dataset, oiv6_batches)
+        ds = OIV6Dataset(cfg, annot, training=training)
+
+        def gen(epoch=0):
+            return oiv6_batches(ds, cfg.training.batch_size, seed=epoch,
+                                shuffle=training)
+
+        return gen
+    from scene_graph_commonsense_tpu.data.dataset import (
+        VGDataset, batches_from_dataset)
     with open(annot) as f:
         annotations = json.load(f)
     ds = VGDataset(cfg, annotations, training=training)
@@ -129,7 +139,9 @@ def main():
 
     model = make_relation_classifier(cfg)
     params = init_relation_params(cfg, model)
-    artifacts = load_vg_artifacts(cfg.data.artifacts_dir)
+    # the converted triplet/zero-shot tables are VG label-space ids
+    artifacts = (load_vg_artifacts(cfg.data.artifacts_dir)
+                 if cfg.data.dataset == "vg" else None)
     mesh = None
     if len(jax.devices()) > 1:
         mesh = make_mesh(data=args.mesh_data,

@@ -192,8 +192,20 @@ def derive(dataset: str = "vg", supcat_clustering: str = "motif",
                             **overrides.pop("model", {}))
     else:
         raise ValueError(f"unknown dataset {dataset!r}")
+    data_overrides = overrides.pop("data", {})
+    if dataset == "oiv6":
+        # OIv6 default locations (reference config.yaml / SGTR layout);
+        # explicit overrides still win
+        data_overrides = {
+            "image_dir": "datasets/open_image_v6/images",
+            "annot_dir": "datasets/open_image_v6_annot",
+            "annotation_train": "datasets/open_image_v6/annotations/"
+                                "oiv6-adjust/vrd-train-anno.json",
+            "annotation_test": "datasets/open_image_v6/annotations/"
+                               "oiv6-adjust/vrd-test-anno.json",
+            **data_overrides}
     data = DataConfig(dataset=dataset, supcat_clustering=supcat_clustering,
-                      **overrides.pop("data", {}))
+                      **data_overrides)
     training = TrainConfig(run_mode=run_mode, eval_mode=eval_mode,
                            **overrides.pop("training", {}))
     parallel = ParallelConfig(**overrides.pop("parallel", {}))
