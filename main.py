@@ -20,15 +20,17 @@ import numpy as np
 
 def parse_args():
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--run_mode", default="train",
+    ap.add_argument("--run_mode", default=None,
                     choices=["train", "eval", "prepare_cs", "train_cs",
                              "eval_cs"])
-    ap.add_argument("--eval_mode", default="pc",
+    ap.add_argument("--eval_mode", default=None,
                     choices=["pc", "sgc", "sgd"])
-    ap.add_argument("--cluster", default="motif",
+    ap.add_argument("--cluster", default=None,
                     choices=["motif", "gpt2", "bert", "clip"])
-    ap.add_argument("--hierar", action="store_true")
-    ap.add_argument("--dataset", default="vg", choices=["vg", "oiv6"])
+    ap.add_argument("--hierar", action="store_const",
+                    const=True, default=None)
+    ap.add_argument("--dataset", default=None,
+                    choices=["vg", "oiv6"])
     ap.add_argument("--config", default=None, help="optional YAML config")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="run on N synthetic batches instead of real data")
@@ -91,7 +93,8 @@ def real_batches(cfg, training: bool):
     if cfg.data.dataset == "oiv6":
         from scene_graph_commonsense_tpu.data.oiv6 import (
             OIV6Dataset, oiv6_batches)
-        ds = OIV6Dataset(cfg, annot, training=training)
+        ds = OIV6Dataset(cfg, annot, training=training,
+                         image_dir=cfg.data.image_dir, load_images=True)
 
         def gen(epoch=0):
             return oiv6_batches(ds, cfg.training.batch_size, seed=epoch,
@@ -144,8 +147,9 @@ def main():
                  if cfg.data.dataset == "vg" else None)
     mesh = None
     if len(jax.devices()) > 1:
-        mesh = make_mesh(data=args.mesh_data,
-                         model=cfg.parallel.model_axis)
+        data_axis = (args.mesh_data if args.mesh_data != -1
+                     else cfg.parallel.data_axis)
+        mesh = make_mesh(data=data_axis, model=cfg.parallel.model_axis)
 
     featurize = None
     if args.synthetic:
@@ -289,7 +293,10 @@ def main():
         else:
             print(f"WARNING: relation checkpoint {ckpt} not found — "
                   f"prepare_cs will query predictions of random weights")
-        run_prepare_cs(cfg, model, params, train_fn(0), artifacts)
+        batches = train_fn(0)
+        if featurize is not None:
+            batches = map(featurize, batches)
+        run_prepare_cs(cfg, model, params, batches, artifacts)
     else:
         sys.exit(f"unhandled run_mode {run_mode}")
 

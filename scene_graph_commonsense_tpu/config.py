@@ -177,21 +177,23 @@ def derive(dataset: str = "vg", supcat_clustering: str = "motif",
     super-classes with clustering-dependent branch sizes; OIv6 = 601 classes /
     30 relations with (4, 2, 24) branches.
     """
+    # dataset-derived values are DEFAULTS; an explicit 'model' override
+    # (e.g. from YAML) wins instead of raising a duplicate-kwarg TypeError
     if dataset == "vg":
         ng, np_, ns = CLUSTER_SIZES[supcat_clustering]
-        model = ModelConfig(num_classes=150, num_relations=50,
+        model_kwargs = dict(num_classes=150, num_relations=50,
                             num_super_classes=17, num_geometric=ng,
                             num_possessive=np_, num_semantic=ns,
-                            hierarchical_pred=hierarchical_pred,
-                            **overrides.pop("model", {}))
+                            hierarchical_pred=hierarchical_pred)
     elif dataset == "oiv6":
-        model = ModelConfig(num_classes=601, num_relations=30,
+        model_kwargs = dict(num_classes=601, num_relations=30,
                             num_super_classes=17, num_geometric=4,
                             num_possessive=2, num_semantic=24,
-                            hierarchical_pred=hierarchical_pred,
-                            **overrides.pop("model", {}))
+                            hierarchical_pred=hierarchical_pred)
     else:
         raise ValueError(f"unknown dataset {dataset!r}")
+    model_kwargs.update(overrides.pop("model", {}))
+    model = ModelConfig(**model_kwargs)
     data_overrides = overrides.pop("data", {})
     if dataset == "oiv6":
         # OIv6 default locations (reference config.yaml / SGTR layout);
@@ -204,10 +206,13 @@ def derive(dataset: str = "vg", supcat_clustering: str = "motif",
             "annotation_test": "datasets/open_image_v6/annotations/"
                                "oiv6-adjust/vrd-test-anno.json",
             **data_overrides}
-    data = DataConfig(dataset=dataset, supcat_clustering=supcat_clustering,
-                      **data_overrides)
-    training = TrainConfig(run_mode=run_mode, eval_mode=eval_mode,
-                           **overrides.pop("training", {}))
+    data_kwargs = dict(dataset=dataset,
+                       supcat_clustering=supcat_clustering)
+    data_kwargs.update(data_overrides)
+    data = DataConfig(**data_kwargs)
+    training_kwargs = dict(run_mode=run_mode, eval_mode=eval_mode)
+    training_kwargs.update(overrides.pop("training", {}))
+    training = TrainConfig(**training_kwargs)
     parallel = ParallelConfig(**overrides.pop("parallel", {}))
     if overrides:
         raise ValueError(f"unknown config sections {sorted(overrides)}")

@@ -36,12 +36,18 @@ def write_sgrec(path: str, cats: np.ndarray, boxes: np.ndarray,
     dir_lower = np.concatenate(
         [np.asarray(d, np.float32) for d in subj_or_obj]) \
         if n > 1 else np.zeros(0, np.float32)
-    assert len(rel_lower) == n * (n - 1) // 2
+    assert len(rel_lower) == n * (n - 1) // 2, \
+        f"rel_lower has {len(rel_lower)} entries, want {n*(n-1)//2}"
+    assert len(dir_lower) == n * (n - 1) // 2, \
+        f"dir_lower has {len(dir_lower)} entries, want {n*(n-1)//2}"
+    depth_flat = np.asarray(depth, np.float32).reshape(-1)
+    assert depth_flat.size == feature_size * feature_size, \
+        f"depth has {depth_flat.size} values, want {feature_size}^2" \
+        f" — a short write would misalign every following field"
     header = np.asarray([MAGIC, 1, n, feature_size, num_super], np.int32)
     with open(path, "wb") as f:
         f.write(header.tobytes())
-        f.write(np.asarray(depth, np.float32).reshape(-1)[
-            :feature_size * feature_size].tobytes())
+        f.write(depth_flat.tobytes())
         f.write(np.asarray(cats, np.int32).tobytes())
         f.write(np.asarray(boxes, np.float32).reshape(n, 4).tobytes())
         f.write(np.asarray(super_mh, np.uint8).reshape(n,
@@ -51,8 +57,11 @@ def write_sgrec(path: str, cats: np.ndarray, boxes: np.ndarray,
 
 
 def build_library(force: bool = False) -> Optional[str]:
-    """Compiles libsgc_pack.so with g++ (cached)."""
-    if os.path.exists(_LIB) and not force:
+    """Compiles libsgc_pack.so with g++.  The cache is mtime-checked so
+    editing sgc_pack.cc takes effect on the next run (a stale .so would
+    silently keep running the old code)."""
+    if (os.path.exists(_LIB) and not force
+            and os.path.getmtime(_LIB) >= os.path.getmtime(_SRC)):
         return _LIB
     try:
         subprocess.run(

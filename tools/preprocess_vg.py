@@ -23,7 +23,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from scene_graph_commonsense_tpu.config import derive  # noqa: E402
-from scene_graph_commonsense_tpu.constants import REL_FREQ2SCAT  # noqa: E402
+from scene_graph_commonsense_tpu.constants import rel_index_map  # noqa: E402
 from scene_graph_commonsense_tpu.data import preprocess as pp  # noqa: E402
 
 
@@ -75,8 +75,12 @@ def stage_annotations(args, cfg):
 
 
 def stage_triplets(args, cfg):
-    """Train/test/zero-shot triplet tables in super-category predicate order
-    (reference dataset_utils.py:231-290 incl. the wears->wearing merge)."""
+    """Train/test/zero-shot triplet tables in the configured clustering's
+    predicate order (reference dataset_utils.py:231-290 incl. the
+    wears->wearing merge).  The order must match what the dataset emits
+    (data/dataset.py applies rel_index_map) or zsR@k counts the wrong
+    triplets — regenerate the tables when changing --cluster."""
+    rel_map = rel_index_map(cfg.data.supcat_clustering)
     tables = {}
     for split, path in [("train", cfg.data.annotation_train),
                         ("test", cfg.data.annotation_test)]:
@@ -87,7 +91,7 @@ def stage_triplets(args, cfg):
             rel = a["relation_id"]
             if rel == 12:
                 rel = 4
-            rel = int(REL_FREQ2SCAT[rel])
+            rel = int(rel_map[rel])
             keys.add((a["category1"], rel, a["category2"]))
         tables[split] = keys
         print(f"{split}: {len(keys)} unique triplets")
@@ -125,8 +129,12 @@ def main():
     ap.add_argument("--h5", default="datasets/vg/VG-SGG-with-attri.h5")
     ap.add_argument("--split", default="train", choices=["train", "test"])
     ap.add_argument("--with_depth", action="store_true")
+    ap.add_argument("--cluster", default="motif",
+                    choices=["motif", "gpt2", "bert", "clip"],
+                    help="predicate order for the triplet tables (must "
+                         "match the training --cluster)")
     args = ap.parse_args()
-    cfg = derive("vg")
+    cfg = derive("vg", supcat_clustering=args.cluster)
     if args.stage == "instances":
         stage_instances(args, cfg)
     elif args.stage == "annotations":
