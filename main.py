@@ -35,10 +35,13 @@ def parse_args():
     ap.add_argument("--synthetic", type=int, default=0,
                     help="run on N synthetic batches instead of real data")
     ap.add_argument("--predictor", default=None,
-                    choices=["motifs", "transformer", "vctree"],
+                    choices=["motifs", "transformer", "vctree", "vtranse"],
                     help="train/eval a plug-and-play predictor family "
                          "(context model + hierarchical head) instead of "
                          "the flagship relation classifier")
+    ap.add_argument("--tde", action="store_true",
+                    help="score predictor eval by Total Direct Effect "
+                         "(counterfactual debiasing; with --predictor)")
     ap.add_argument("--batch_size", type=int, default=None)
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--mesh_data", type=int, default=-1,
@@ -212,7 +215,8 @@ def main():
                       f"evaluating randomly initialized weights")
             res = pnp_engine.run_eval_pc_predictor(
                 cfg, predictor, p, test_fn(0), artifacts=artifacts,
-                featurize=featurize, use_cs=run_mode == "eval_cs")
+                featurize=featurize, use_cs=run_mode == "eval_cs",
+                tde=args.tde)
             print(json.dumps({k: v for k, v in res.items()
                               if isinstance(v, (int, float, list))
                               and k != "recall_per_class"}, default=str))

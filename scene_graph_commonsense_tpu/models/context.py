@@ -356,3 +356,52 @@ class VCTreeContext(nn.Module):
         logits = nn.Dense(self.num_classes, dtype=self.dtype,
                           name="decode")(ctx).astype(jnp.float32)
         return ctx, logits
+
+
+class VTransEContext(nn.Module):
+    """VTransE feature extractor (Zhang et al. 2017), the fourth model
+    family the reference composes with (reference
+    README_PLUGANDPLAY.md:171-172: "VTransE + Ours").
+
+    VTransE has no inter-object context propagation: each object's
+    representation is a feed-forward projection of the paper's
+    "classeme + location + visual" triple — here [visual ⊕ label-embed ⊕
+    box geometry] through a 2-layer MLP.  The defining *translation
+    embedding* composition (predicate ≈ W_o·obj − W_s·sub) lives in
+    HierarchicalPredictor's pair stage.
+
+    Same contract as the other contexts: (feats, boxes, labels, valid) ->
+    (edge_ctx (B,N,2H), obj_logits (B,N,C)).
+    """
+    hidden_dim: int = 256
+    embed_dim: int = 100
+    num_classes: int = 150
+    mode: str = "predcls"
+    box_scale: float = 32.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats, boxes, labels, valid):
+        embed = nn.Embed(self.num_classes + 1, self.embed_dim,
+                         name="label_embed", dtype=self.dtype)
+        pos = nn.Dense(32, dtype=self.dtype, name="box_embed")(
+            box_position_features(boxes, self.box_scale).astype(
+                self.dtype))
+        lab = embed(jnp.clip(labels + 1, 0, self.num_classes))
+        # see MotifsContext: GT labels enter only in predcls mode
+        lab_in = lab if self.mode == "predcls" else embed(
+            jnp.zeros_like(labels))
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="proj")(
+            jnp.concatenate([feats.astype(self.dtype), lab_in, pos],
+                            axis=-1))
+        x = nn.relu(x)
+        x = jnp.where(valid[..., None], x, 0.0)
+        logits = nn.Dense(self.num_classes, dtype=self.dtype,
+                          name="decode")(x).astype(jnp.float32)
+        if self.mode != "predcls":
+            soft = jax.nn.softmax(logits).astype(self.dtype)
+            lab = soft @ embed.embedding[1:]
+        edge = nn.Dense(2 * self.hidden_dim, dtype=self.dtype,
+                        name="edge_proj")(jnp.concatenate([x, lab],
+                                                          axis=-1))
+        return jnp.where(valid[..., None], edge, 0.0), logits

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from scene_graph_commonsense_tpu.models.context import (
-    MotifsContext, TransformerContext, VCTreeContext)
+    MotifsContext, TransformerContext, VCTreeContext, VTransEContext)
 from scene_graph_commonsense_tpu.models.relation_head import BayesianHead
 
 
@@ -64,13 +64,13 @@ BiasedBayesHead = BayesianHead
 
 
 _CONTEXTS = {"motifs": MotifsContext, "transformer": TransformerContext,
-             "vctree": VCTreeContext}
+             "vctree": VCTreeContext, "vtranse": VTransEContext}
 
 
 class HierarchicalPredictor(nn.Module):
     """Context encoder + Motifs pair composition + (biased) BayesHead.
 
-    family: 'motifs' | 'transformer' | 'vctree'.
+    family: 'motifs' | 'transformer' | 'vctree' | 'vtranse'.
 
     __call__(feats (B,N,D), boxes (B,N,4), labels (B,N) int,
              valid (B,N) bool, pair_sub (B,P), pair_obj (B,P),
@@ -108,7 +108,13 @@ class HierarchicalPredictor(nn.Module):
             take(ctx, pair_sub))
         obj_rep = nn.Dense(self.pair_dim, dtype=self.dtype, name="post_obj")(
             take(ctx, pair_obj))
-        h = sub_rep * obj_rep
+        if self.family == "vtranse":
+            # VTransE's translation embedding: subject + predicate ≈ object
+            # in the projected space, so the predicate representation is
+            # the difference W_o·obj − W_s·sub (Zhang et al. 2017 eq. 2)
+            h = obj_rep - sub_rep
+        else:
+            h = sub_rep * obj_rep
         if union_feats is not None:
             h = h * nn.Dense(self.pair_dim, dtype=self.dtype,
                              name="post_union")(

@@ -66,7 +66,7 @@ def grid_pairs(b: int, n: int):
 
 
 def _forward(predictor, params, batch, deterministic=True, rng=None,
-             with_intermediates=False):
+             with_intermediates=False, counterfactual=False):
     b, n = batch["cats"].shape
     feats = roi_pool_features(batch["features"], batch["boxes"],
                               batch["valid"])
@@ -74,6 +74,20 @@ def _forward(predictor, params, batch, deterministic=True, rng=None,
     pair_mask = pair_ops.pair_validity(batch["valid"]).reshape(b, n * n)
     union = union_pool_features(batch["features"], batch["boxes"],
                                 pair_sub, pair_obj)
+    if counterfactual:
+        # TDE intervention (Tang et al. 2020): wipe the *visual* input by
+        # replacing every object/union feature with the mean feature while
+        # keeping labels and boxes — the context/bias path is untouched.
+        # Deviation: the mean is the batch's masked mean rather than a
+        # training-set running mean (no extra state to carry).
+        v = batch["valid"].astype(feats.dtype)
+        feats = jnp.broadcast_to(
+            (feats * v[..., None]).sum((0, 1))
+            / jnp.maximum(v.sum(), 1.0), feats.shape)
+        pm = pair_mask.astype(union.dtype)
+        union = jnp.broadcast_to(
+            (union * pm[..., None]).sum((0, 1))
+            / jnp.maximum(pm.sum(), 1.0), union.shape)
     out = predictor.apply(
         params, feats, batch["boxes"], batch["cats"], batch["valid"],
         pair_sub, pair_obj, pair_mask, union,
@@ -159,9 +173,23 @@ def make_pnp_train_step(predictor: HierarchicalPredictor, cfg, optimizer):
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_pnp_eval_step(predictor: HierarchicalPredictor, cfg):
+def make_pnp_eval_step(predictor: HierarchicalPredictor, cfg,
+                       tde: bool = False):
+    """With tde=True the step scores each pair by Total Direct Effect
+    (Tang et al. 2020, "Unbiased Scene Graph Generation from Biased
+    Training" — the +TDE rows of reference README_PLUGANDPLAY.md:181-188):
+    relation/super scores become factual − counterfactual, where the
+    counterfactual forward sees mean visual features (labels and boxes
+    intact).  The outputs are ranking scores, not log-probs — exactly how
+    TDE is consumed downstream in SGB."""
     def step(params, batch):
         out = _forward(predictor, params, batch, deterministic=True)
+        if tde:
+            out_cf = _forward(predictor, params, batch, deterministic=True,
+                              counterfactual=True)
+            out = dict(out)
+            for k in ("relation", "super_relation"):
+                out[k] = out[k] - out_cf[k]
         b, n = batch["cats"].shape
         s = batch["features"].shape[1]
         iou_ok = (pair_ops.eval_pair_filter(batch["boxes"], s)
@@ -277,11 +305,12 @@ def _strip(batch):
 def run_eval_pc_predictor(cfg, predictor, params,
                           batches: Iterable[Dict], artifacts=None,
                           featurize=None, max_batches=None, use_cs=False,
-                          estep=None):
+                          estep=None, tde=False):
     """PredCLS evaluation of a predictor family with the standard
     vectorized Recall@k evaluator.  use_cs applies the commonsense
     triplet filtering (eval_cs) through the same dense tables as the
-    flagship engine.  Pass a prebuilt `estep` to reuse its jit cache
+    flagship engine; tde scores pairs by Total Direct Effect (see
+    make_pnp_eval_step).  Pass a prebuilt `estep` to reuse its jit cache
     across calls (fit_predictor does, once per run)."""
     from scene_graph_commonsense_tpu.eval.builders import (
         build_candidates, build_targets)
@@ -289,7 +318,7 @@ def run_eval_pc_predictor(cfg, predictor, params,
 
     evaluator, _ = _make_evaluators(cfg, artifacts, predcls=True)
     if estep is None:
-        estep = make_pnp_eval_step(predictor, cfg)
+        estep = make_pnp_eval_step(predictor, cfg, tde=tde)
     cs_a = cs_v = None
     if use_cs:
         if artifacts is None or artifacts.cs_aligned is None:

@@ -8,7 +8,7 @@ import pytest
 
 from scene_graph_commonsense_tpu.models.context import (
     MaskedBiLSTM, MotifsContext, TransformerContext, VCTreeContext,
-    prim_arborescence, tree_depths)
+    VTransEContext, prim_arborescence, tree_depths)
 from scene_graph_commonsense_tpu.models.predictors import (
     BiasedBayesHead, FrequencyBias, HierarchicalPredictor)
 
@@ -84,7 +84,7 @@ def test_tree_depths():
 
 
 @pytest.mark.parametrize("ctx_cls", [MotifsContext, TransformerContext,
-                                     VCTreeContext])
+                                     VCTreeContext, VTransEContext])
 def test_context_shapes_and_jit(ctx_cls):
     feats, boxes, labels, valid = _inputs()
     m = ctx_cls(hidden_dim=8, num_classes=C)
@@ -141,7 +141,8 @@ def test_frequency_bias_lookup():
     np.testing.assert_allclose(out[1], tab[(3 + 1) * 151 + (4 + 1)])
 
 
-@pytest.mark.parametrize("family", ["motifs", "transformer", "vctree"])
+@pytest.mark.parametrize("family", ["motifs", "transformer", "vctree",
+                                    "vtranse"])
 def test_predictor_end_to_end(family):
     feats, boxes, labels, valid = _inputs()
     P = 8

@@ -102,3 +102,55 @@ def test_vctree_structure_params_receive_gradient():
         delta = float(jnp.max(jnp.abs(ctx_new[name]["kernel"]
                                       - ctx_old[name]["kernel"])))
         assert delta > 0, f"{name} received no update"
+
+
+def test_vtranse_train_step_decreases_loss():
+    cfg = _cfg()
+    predictor = pnp_engine.make_predictor(cfg, "vtranse")
+    params = pnp_engine.init_predictor_params(cfg, predictor)
+    opt = optax.adamw(1e-3)
+    step = pnp_engine.make_pnp_train_step(predictor, cfg, opt)
+    state = TrainState(params, opt.init(params), jnp.int32(0))
+    batch = _batch(cfg)
+    rng = jax.random.PRNGKey(0)
+    losses = []
+    for _ in range(5):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_tde_zero_when_visual_uninformative():
+    """TDE = factual - counterfactual(mean visual features); when the
+    feature map is constant, pooled features already equal their mean, so
+    every TDE relation score must be exactly zero while the factual scores
+    are not."""
+    cfg = _cfg()
+    predictor = pnp_engine.make_predictor(cfg, "motifs")
+    params = pnp_engine.init_predictor_params(cfg, predictor)
+    batch = _batch(cfg)
+    batch["features"] = jnp.ones_like(batch["features"]) * 0.3
+    plain = pnp_engine.make_pnp_eval_step(predictor, cfg)(params, batch)
+    tde = pnp_engine.make_pnp_eval_step(predictor, cfg, tde=True)(
+        params, batch)
+    assert float(jnp.max(jnp.abs(tde["relation"]))) < 1e-5
+    assert float(jnp.max(jnp.abs(plain["relation"]))) > 1e-3
+
+
+def test_tde_keeps_masks_and_connectivity():
+    """TDE only re-scores relation/super outputs; pair bookkeeping and the
+    connectivity logit stay factual."""
+    cfg = _cfg()
+    predictor = pnp_engine.make_predictor(cfg, "vtranse")
+    params = pnp_engine.init_predictor_params(cfg, predictor)
+    batch = _batch(cfg)
+    plain = pnp_engine.make_pnp_eval_step(predictor, cfg)(params, batch)
+    tde = pnp_engine.make_pnp_eval_step(predictor, cfg, tde=True)(
+        params, batch)
+    np.testing.assert_array_equal(np.asarray(tde["pair_mask"]),
+                                  np.asarray(plain["pair_mask"]))
+    np.testing.assert_array_equal(np.asarray(tde["connectivity"]),
+                                  np.asarray(plain["connectivity"]))
+    assert float(jnp.max(jnp.abs(tde["relation"]
+                                 - plain["relation"]))) > 1e-4
