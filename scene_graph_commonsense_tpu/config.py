@@ -113,6 +113,14 @@ class TrainConfig:
     # directed pair of a batch is compacted into this buffer; 0 means "full
     # worst case" = batch_size * max_objects * (max_objects - 1).
     pair_capacity: int = 0
+    # Capacity of the contrastive (augmented-view) pair buffer, which holds
+    # only CONNECTED pairs (reference train_utils.py:96-99 feeds SupCon
+    # nothing else).  Connected pairs are GT relations — on VG ~6 per image,
+    # i.e. an order of magnitude sparser than valid pairs — so the default
+    # 0 = pair_capacity // 4 still leaves ~2x headroom over observed batch
+    # maxima; overflow drops the excess pairs from the (regularizing)
+    # contrastive term only, never from the main losses.
+    aug_pair_capacity: int = 0
     seed: int = 0
     # Observability (SURVEY.md §5).  TensorBoard scalars mirror the
     # reference's tag set (train_test.py:279-285); profile_start_step >= 0

@@ -248,9 +248,12 @@ def make_train_step(model: RelationClassifier, cfg, optimizer,
     weights = jnp.asarray(class_weights)
     shards = 1 if mesh is None else mesh.shape["data"]
     local_capacity = max(capacity // shards, 1)
-    # connected pairs are a minority of directed pairs (one direction of a
-    # subset of unordered pairs); half capacity is a generous bound
-    aug_capacity = max(local_capacity // 2, 1)
+    # connected pairs (= GT relations) are an order of magnitude sparser
+    # than valid pairs; see TrainConfig.aug_pair_capacity.  Shrinking this
+    # buffer shrinks the aug view's share of the conv3/fc1 FLOPs 1:1.
+    aug_capacity = (cfg.training.aug_pair_capacity // shards
+                    or max(local_capacity // 4, 1))
+    aug_capacity = min(max(aug_capacity, 1), local_capacity)
 
     def local_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
