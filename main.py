@@ -165,29 +165,9 @@ def main():
         # frozen DETR-101 featurizer (reference train_utils.py:9-18); the
         # converter (models/weights.py) produces the msgpack from the
         # reference's torch checkpoint
-        from scene_graph_commonsense_tpu.models.detr import make_detr
         from scene_graph_commonsense_tpu.train.loop import (
-            make_detr_featurize_fn)
-        detr = make_detr(cfg)
-        ckpt = cfg.model.detr_pretrained
-        if os.path.exists(ckpt):
-            import flax.serialization
-            with open(ckpt, "rb") as f:
-                import jax.numpy as jnp
-                s = cfg.model.feature_size
-                tmpl = detr.init(jax.random.PRNGKey(0),
-                                 jnp.zeros((1, 64, 64, 3)),
-                                 jnp.ones((1, 64, 64), bool))
-                detr_params = flax.serialization.from_bytes(tmpl, f.read())
-        else:
-            print(f"WARNING: {ckpt} not found — using randomly initialized "
-                  f"DETR weights (convert the reference checkpoint with "
-                  f"models/weights.py for meaningful features)")
-            import jax.numpy as jnp
-            detr_params = detr.init(jax.random.PRNGKey(0),
-                                    jnp.zeros((1, 64, 64, 3)),
-                                    jnp.ones((1, 64, 64), bool))
-        featurize = make_detr_featurize_fn(cfg, detr, detr_params)
+            load_detr_featurizer)
+        featurize, detr, detr_params = load_detr_featurizer(cfg)
 
     run_mode = cfg.training.run_mode
     if args.predictor:

@@ -45,6 +45,33 @@ def lr_schedule(cfg, steps_per_epoch: int):
     return optax.piecewise_constant_schedule(base, boundaries)
 
 
+def load_detr_featurizer(cfg, log_fn=print):
+    """Builds the frozen DETR-101 featurizer: loads converted weights from
+    cfg.model.detr_pretrained when present (random init with a loud
+    warning otherwise — fine for plumbing tests, useless for recall).
+    Returns (featurize_fn, detr_model, detr_params) so callers can also
+    build the detection path from the same weights."""
+    import os
+
+    import flax.serialization
+
+    from scene_graph_commonsense_tpu.models.detr import make_detr
+
+    detr = make_detr(cfg)
+    tmpl = detr.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                     jnp.ones((1, 64, 64), bool))
+    ckpt = cfg.model.detr_pretrained
+    if os.path.exists(ckpt):
+        with open(ckpt, "rb") as f:
+            detr_params = flax.serialization.from_bytes(tmpl, f.read())
+    else:
+        log_fn(f"WARNING: {ckpt} not found — using randomly initialized "
+               f"DETR weights (convert the reference checkpoint with "
+               f"models/weights.py for meaningful features)")
+        detr_params = tmpl
+    return make_detr_featurize_fn(cfg, detr, detr_params), detr, detr_params
+
+
 def make_detr_featurize_fn(cfg, detr_model, detr_params):
     """Returns featurize(batch) -> batch with 'features' (and
     'features_aug' when an augmented image view is present) computed by the

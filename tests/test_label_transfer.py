@@ -1,0 +1,143 @@
+"""IETrans / NICE data transfer operators and the annotation round trip."""
+
+import subprocess
+import sys
+
+import numpy as np
+
+from scene_graph_commonsense_tpu.constants import rel_index_map
+from scene_graph_commonsense_tpu.data import label_transfer as lt
+from scene_graph_commonsense_tpu.ops.pairs import directed_rel_from_lower
+
+
+def _scores(n, r, top, value=5.0):
+    """(N, N, R) score grid whose argmax everywhere is `top`."""
+    s = np.zeros((n, n, r), np.float32)
+    s[:, :, top] = value
+    return s
+
+
+def test_internal_transfer_head_to_tail_only():
+    n, r = 4, 10
+    rel = np.full((n, n), -1, np.int32)
+    rel[0, 1] = 2          # head predicate (frequent)
+    rel[1, 2] = 7          # tail predicate (rare)
+    freq = np.zeros(r, np.int64)
+    freq[2], freq[7] = 100, 3
+    scores = _scores(n, r, top=7)
+    cands = lt.internal_candidates(0, rel, scores, freq)
+    # (0,1): 2 -> 7 is head->tail with positive margin => candidate;
+    # (1,2): already 7 => no candidate
+    assert len(cands) == 1
+    c = cands[0]
+    assert (c.sub, c.obj, c.old, c.new) == (0, 1, 2, 7)
+
+    # reversed frequencies: 7 is MORE frequent than 2 => no transfer
+    freq[2], freq[7] = 3, 100
+    assert lt.internal_candidates(0, rel, scores, freq) == []
+
+
+def test_internal_transfer_requires_positive_margin():
+    n, r = 3, 5
+    rel = np.full((n, n), -1, np.int32)
+    rel[0, 1] = 1
+    freq = np.asarray([0, 100, 1, 0, 0], np.int64)
+    scores = np.zeros((n, n, r), np.float32)
+    scores[0, 1, 1] = 9.0          # GT scored highest => argmax == GT
+    scores[0, 1, 2] = 5.0
+    assert lt.internal_candidates(0, rel, scores, freq) == []
+
+
+def test_external_transfer_labels_unlabeled_valid_pairs_only():
+    n, r = 3, 6
+    rel = np.full((n, n), -1, np.int32)
+    rel[0, 1] = 3
+    valid = np.ones((n, n), bool) & ~np.eye(n, dtype=bool)
+    conn = np.full((n, n), 0.9, np.float32)
+    cands = lt.external_candidates(0, rel, _scores(n, r, top=4), conn,
+                                   valid)
+    pairs = {(c.sub, c.obj) for c in cands}
+    assert (0, 1) not in pairs                 # already labeled
+    assert all(c.new == 4 and c.old == -1 for c in cands)
+    assert len(pairs) == n * (n - 1) - 1
+
+
+def test_select_top_percent_ranks_by_margin():
+    cands = [lt.TransferCandidate(0, 0, 1, 2, 3, m)
+             for m in (0.1, 0.9, 0.5, 0.7)]
+    top = lt.select_top_percent(cands, 50.0)
+    assert [c.margin for c in top] == [0.9, 0.7]
+    assert lt.select_top_percent(cands, 0.0) == []
+    assert len(lt.select_top_percent(cands, 100.0)) == 4
+
+
+def test_nice_corrects_confident_disagreements():
+    n, r = 3, 5
+    rel = np.full((n, n), -1, np.int32)
+    rel[0, 1] = 1
+    rel[1, 2] = 2
+    scores = np.zeros((n, n, r), np.float32)
+    scores[0, 1, 3] = 4.0          # confident disagreement
+    scores[1, 2, 2] = 4.0          # agrees
+    new_rels, summary = lt.nice({0: rel}, {0: scores}, percent=100.0)
+    assert new_rels[0][0, 1] == 3
+    assert new_rels[0][1, 2] == 2
+    assert summary == {"relabeled": 1, "added": 0}
+
+
+def test_ietrans_pipeline_counts():
+    n, r = 4, 8
+    rel = np.full((n, n), -1, np.int32)
+    rel[0, 1] = 0
+    freq_bias_scores = _scores(n, r, top=5)
+    valid = np.ones((n, n), bool) & ~np.eye(n, dtype=bool)
+    conn = np.full((n, n), 0.5, np.float32)
+    new_rels, summary = lt.ietrans(
+        {0: rel}, {0: freq_bias_scores}, {0: conn}, {0: valid},
+        num_relations=r, internal_percent=100.0, external_percent=100.0)
+    assert new_rels[0][0, 1] == 5                 # internal transfer
+    assert summary["relabeled"] == 1
+    assert summary["added"] == n * (n - 1) - 1    # every unlabeled pair
+    # inputs untouched
+    assert rel[0, 1] == 0
+
+
+def test_rewrite_annotation_round_trip():
+    """Model-space relabels written to the npz contract must reload (via
+    the dataset's merge + reorder path) as exactly the new labels."""
+    rel_map = rel_index_map("motif")
+    n, n_max = 3, 5
+    rec = {
+        "categories": np.asarray([5, 9, 23]),
+        "bbox": np.zeros((n, 4), np.float32),
+        "image_depth": np.zeros((1, 8, 8), np.float32),
+        "relationships": [np.asarray([-1]), np.asarray([3, -1])],
+        "subj_or_obj": [np.asarray([-1.0]), np.asarray([1.0, -1.0])],
+    }
+    new_rel = np.full((n_max, n_max), -1, np.int32)
+    new_rel[2, 0] = int(rel_map[30])     # keep one edge, new predicate
+    new_rel[0, 1] = int(rel_map[45])     # add an edge
+    rec2 = lt.rewrite_annotation(rec, new_rel, rel_map)
+
+    # reload through the dataset's transform: merge wears (12->4), reorder
+    rows = []
+    for row in rec2["relationships"]:
+        row = np.asarray(row, np.int64).copy()
+        row[row == 12] = 4
+        rows.append(np.where(row >= 0, rel_map[np.clip(row, 0, 49)], -1))
+    rel_back = directed_rel_from_lower(rows, rec2["subj_or_obj"], n, n_max)
+    assert rel_back[2, 0] == rel_map[30]
+    assert rel_back[0, 1] == rel_map[45]
+    assert (rel_back >= 0).sum() == 2
+
+
+def test_cli_synthetic_smoke():
+    cmd = [sys.executable, "tools/label_transfer.py", "--mode", "ietrans",
+           "--synthetic", "2", "--batch_size", "2"]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    line = out.stdout.strip().splitlines()[-1]
+    import json
+    rec = json.loads(line)
+    assert rec["mode"] == "ietrans"
+    assert rec["images"] == 4
