@@ -170,6 +170,11 @@ def main():
         featurize, detr, detr_params = load_detr_featurizer(cfg)
 
     run_mode = cfg.training.run_mode
+    if args.tde and not args.predictor:
+        # refuse loudly instead of silently running plain (biased)
+        # scoring the user would report as +TDE numbers
+        sys.exit("--tde requires --predictor (TDE scoring is implemented "
+                 "for the plug-and-play predictor eval path)")
     if args.predictor:
         # plug-and-play model families (BASELINE config 5): Motifs /
         # Transformer / VCTree context + hierarchical head end-to-end

@@ -77,7 +77,10 @@ def internal_candidates(image: int, rel: np.ndarray, scores: np.ndarray,
         if p_new == p_old or freq[p_new] >= freq[p_old]:
             continue
         margin = float(scores[i, j, p_new] - scores[i, j, p_old])
-        if margin <= 0:
+        # not np.isfinite also rejects the NaN of (-inf) - (-inf): a GT
+        # pair the model never scored (e.g. truncated out of a capped
+        # pair pack) must not become a candidate
+        if not np.isfinite(margin) or margin <= 0:
             continue
         out.append(TransferCandidate(image, int(i), int(j), p_old, p_new,
                                      margin))
@@ -85,18 +88,25 @@ def internal_candidates(image: int, rel: np.ndarray, scores: np.ndarray,
 
 
 def external_candidates(image: int, rel: np.ndarray, scores: np.ndarray,
-                        conn: np.ndarray,
-                        valid_pair: np.ndarray) -> List[TransferCandidate]:
-    """NA->predicate proposals: unlabeled valid pairs ranked by
-    relatedness x predicate confidence.
+                        conn: np.ndarray, valid_pair: np.ndarray,
+                        min_conn: float = 0.5) -> List[TransferCandidate]:
+    """NA->predicate proposals: unlabeled valid pairs the model considers
+    RELATED (conn >= min_conn), ranked by relatedness + predicate
+    confidence.  The relatedness gate is essential: a 20-object image has
+    380 directed valid pairs but ~6 GT relations, so proposing every NA
+    pair would pseudo-label the whole grid and drown the real
+    annotations (IETrans' external transfer likewise only labels NA pairs
+    the model confidently relates).
 
     conn: (N, N) relatedness probability (sigmoid of the connectivity
     logit); valid_pair: (N, N) bool (both objects real, no self-pairs)."""
     out: List[TransferCandidate] = []
-    subs, objs = np.nonzero(valid_pair & (rel < 0))
+    subs, objs = np.nonzero(valid_pair & (rel < 0) & (conn >= min_conn))
     for i, j in zip(subs, objs):
         p_new = int(np.argmax(scores[i, j]))
         margin = float(conn[i, j]) + float(scores[i, j, p_new])
+        if not np.isfinite(margin):
+            continue
         out.append(TransferCandidate(image, int(i), int(j), -1, p_new,
                                      margin))
     return out
@@ -115,7 +125,7 @@ def nice_candidates(image: int, rel: np.ndarray, scores: np.ndarray,
         if p_new == p_old:
             continue
         margin = float(scores[i, j, p_new] - scores[i, j, p_old])
-        if margin > min_gap:
+        if np.isfinite(margin) and margin > min_gap:
             out.append(TransferCandidate(image, int(i), int(j), p_old,
                                          p_new, margin))
     return out
@@ -153,19 +163,21 @@ def ietrans(rels: Dict[int, np.ndarray],
             valid_pairs: Dict[int, np.ndarray],
             num_relations: int,
             internal_percent: float = 70.0,
-            external_percent: float = 100.0
+            external_percent: float = 100.0,
+            external_min_conn: float = 0.5
             ) -> Tuple[Dict[int, np.ndarray], Dict[str, int]]:
     """Full IETrans pass over a collection: internal (head->tail) then
     external (NA->predicate) transfer, each top-percent thresholded.
     Defaults follow the paper's reported sweet spot (k_i = 70%, external
-    on all confident unlabeled pairs it proposes)."""
+    on all unlabeled pairs that pass the relatedness gate)."""
     freq = predicate_frequencies(rels.values(), num_relations)
     internal: List[TransferCandidate] = []
     external: List[TransferCandidate] = []
     for img, rel in rels.items():
         internal += internal_candidates(img, rel, scores[img], freq)
         external += external_candidates(img, rel, scores[img], conns[img],
-                                        valid_pairs[img])
+                                        valid_pairs[img],
+                                        min_conn=external_min_conn)
     chosen = (select_top_percent(internal, internal_percent)
               + select_top_percent(external, external_percent))
     return apply_candidates(rels, chosen)
@@ -193,11 +205,17 @@ def inverse_rel_map(rel_map: np.ndarray) -> np.ndarray:
     merged into 4 ("wearing") before the map, so the inverse returns 4 for
     that shared slot — rewritten annotations simply never re-emit the
     merged alias."""
+    rel_map = np.asarray(rel_map, np.int64)
     inv = np.zeros(len(rel_map), np.int64)
-    for raw, mapped in enumerate(np.asarray(rel_map, np.int64)):
+    for raw, mapped in enumerate(rel_map):
         if raw == 12 or mapped < 0:
             continue
         inv[mapped] = raw
+    # the dead "wears" slot (rel_map[12]) never appears in GT but a model
+    # can still argmax it; write it back as raw 4 ("wearing"), not as
+    # whatever np.zeros left in that entry
+    if 0 <= rel_map[12] < len(inv) and rel_map[12] != rel_map[4]:
+        inv[rel_map[12]] = 4
     return inv
 
 

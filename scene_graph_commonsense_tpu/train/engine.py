@@ -251,8 +251,12 @@ def make_train_step(model: RelationClassifier, cfg, optimizer,
     # connected pairs (= GT relations) are an order of magnitude sparser
     # than valid pairs; see TrainConfig.aug_pair_capacity.  Shrinking this
     # buffer shrinks the aug view's share of the conv3/fc1 FLOPs 1:1.
-    aug_capacity = (cfg.training.aug_pair_capacity // shards
-                    or max(local_capacity // 4, 1))
+    if cfg.training.aug_pair_capacity > 0:
+        # explicit global capacity, divided across shards (never fall
+        # back to the default just because the division hits zero)
+        aug_capacity = cfg.training.aug_pair_capacity // shards
+    else:
+        aug_capacity = local_capacity // 4
     aug_capacity = min(max(aug_capacity, 1), local_capacity)
 
     def local_step(state: TrainState, batch, rng):

@@ -141,3 +141,46 @@ def test_cli_synthetic_smoke():
     rec = json.loads(line)
     assert rec["mode"] == "ietrans"
     assert rec["images"] == 4
+
+
+def test_external_transfer_gated_by_relatedness():
+    """Pairs the model deems unrelated (conn < min_conn) must not be
+    pseudo-labeled — without the gate every NA pair of the grid would be."""
+    n, r = 3, 6
+    rel = np.full((n, n), -1, np.int32)
+    valid = np.ones((n, n), bool) & ~np.eye(n, dtype=bool)
+    conn = np.full((n, n), 0.1, np.float32)
+    conn[0, 1] = 0.9
+    cands = lt.external_candidates(0, rel, _scores(n, r, top=2), conn,
+                                   valid, min_conn=0.5)
+    assert {(c.sub, c.obj) for c in cands} == {(0, 1)}
+
+
+def test_unscored_gt_pairs_never_become_candidates():
+    """A GT pair truncated out of the pair pack has all -inf scores; the
+    NaN margin of (-inf) - (-inf) must not produce a candidate."""
+    n, r = 3, 5
+    rel = np.full((n, n), -1, np.int32)
+    rel[0, 1] = 1
+    freq = np.asarray([0, 100, 1, 0, 0], np.int64)
+    scores = np.full((n, n, r), -np.inf, np.float32)
+    assert lt.internal_candidates(0, rel, scores, freq) == []
+    assert lt.nice_candidates(0, rel, scores) == []
+    conn = np.ones((n, n), np.float32)
+    valid = np.ones((n, n), bool) & ~np.eye(n, dtype=bool)
+    assert lt.external_candidates(0, rel, scores, conn, valid) == []
+
+
+def test_inverse_rel_map_dead_wears_slot():
+    """The merged 'wears' cluster slot must invert to raw 4 ('wearing'),
+    not to raw 0."""
+    rel_map = rel_index_map("motif")
+    inv = lt.inverse_rel_map(rel_map)
+    assert inv[rel_map[4]] == 4
+    if rel_map[12] != rel_map[4]:
+        assert inv[rel_map[12]] == 4
+    # every live slot round-trips
+    for raw in range(50):
+        if raw == 12:
+            continue
+        assert inv[rel_map[raw]] == raw

@@ -57,9 +57,8 @@ def collect_scores(cfg, batches, estep, params):
                out["pair_obj"][m]] = out["relation"][m]
         conn[out["pair_img"][m], out["pair_sub"][m], out["pair_obj"][m]] = \
             1.0 / (1.0 + np.exp(-out["connectivity"][m]))
-        valid = np.asarray(batch["valid"], bool)
-        vp = (valid[:, :, None] & valid[:, None, :]
-              & ~np.eye(n, dtype=bool)[None])
+        from scene_graph_commonsense_tpu.ops import pairs as pair_ops
+        vp = np.asarray(pair_ops.pair_validity(batch["valid"]))
         rel = np.asarray(batch["rel"])
         for bi in range(b):
             key = next_key
@@ -80,6 +79,9 @@ def main():
                     help="internal-transfer (ietrans) / correction (nice) "
                          "top-percent threshold")
     ap.add_argument("--external_percent", type=float, default=100.0)
+    ap.add_argument("--external_min_conn", type=float, default=0.5,
+                    help="relatedness-probability gate for external "
+                         "(NA->predicate) transfer")
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--out_dir", default=None,
                     help="where rewritten *_annotations.npz land "
@@ -140,10 +142,13 @@ def main():
             annotations = json.load(f)
         ds = VGDataset(cfg, annotations, training=False)
         featurize, _, _ = load_detr_featurizer(cfg)
+        # drop_last=False: a rewrite tool must cover every image (the one
+        # tail batch costs one extra jit compile at its partial size)
         batches = map(featurize,
                       batches_from_dataset(ds, args.batch_size,
                                            seed=cfg.training.seed,
-                                           shuffle=False))
+                                           shuffle=False,
+                                           drop_last=False))
 
     recs = collect_scores(cfg, batches, estep, params)
     rels = {k: r["rel"] for k, r in recs.items()}
@@ -157,7 +162,8 @@ def main():
             cfg.model.num_relations,
             internal_percent=(args.percent if args.percent is not None
                               else 70.0),
-            external_percent=args.external_percent)
+            external_percent=args.external_percent,
+            external_min_conn=args.external_min_conn)
     else:
         new_rels, summary = lt.nice(
             rels, scores,
@@ -167,7 +173,7 @@ def main():
                                            cfg.model.num_relations)
     freq_after = lt.predicate_frequencies(new_rels.values(),
                                           cfg.model.num_relations)
-    written = 0
+    written = skipped = 0
     if args.out_dir:
         from scene_graph_commonsense_tpu.data.dataset import load_annotation
         rel_map = rel_index_map(cfg.data.supcat_clustering)
@@ -178,6 +184,12 @@ def main():
                 continue
             rec = load_annotation(r["annot_path"])
             if rec is None:
+                # the dataset's annot_path names the reference .pkl; fall
+                # back to this framework's .npz like VGDataset.get_example
+                base = os.path.splitext(r["annot_path"])[0]
+                rec = load_annotation(base + ".npz")
+            if rec is None:
+                skipped += 1
                 continue
             rec2 = lt.rewrite_annotation(rec, new_rels[k], rel_map)
             name = os.path.basename(r["annot_path"])
@@ -196,7 +208,7 @@ def main():
 
     print(json.dumps({
         "mode": args.mode, "images": len(recs), **summary,
-        "written": written,
+        "written": written, "skipped": skipped,
         "tail_mass_before": round(float(
             freq_before[freq_before.argsort()[:25]].sum()
             / max(freq_before.sum(), 1)), 4),
