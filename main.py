@@ -253,7 +253,7 @@ def main():
 
             res = engines.run_eval_pc(cfg, model, params, batches,
                                       artifacts=artifacts, use_cs=use_cs,
-                                      on_batch=on_batch)
+                                      on_batch=on_batch, mesh=mesh)
         elif args.synthetic:
             sys.exit("sgc/sgd need detector outputs; run on real data with "
                      "a converted DETR checkpoint")
@@ -262,7 +262,7 @@ def main():
             runner = (engines.run_eval_sgc if cfg.training.eval_mode ==
                       "sgc" else engines.run_eval_sgd)
             res = runner(cfg, model, params, batches, detect_fn,
-                         artifacts=artifacts, use_cs=use_cs)
+                         artifacts=artifacts, use_cs=use_cs, mesh=mesh)
         print(json.dumps({k: v for k, v in res.items()
                           if isinstance(v, (int, float, list))
                           and k != "recall_per_class"}, default=str))

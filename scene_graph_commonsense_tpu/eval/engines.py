@@ -112,14 +112,17 @@ def _results(cfg, ev, ev3) -> Dict:
 def run_eval_pc(cfg, model, params, batches: Iterable[Dict],
                 artifacts=None, use_cs: bool = False,
                 max_batches: Optional[int] = None,
-                on_batch: Optional[Callable] = None, estep=None) -> Dict:
+                on_batch: Optional[Callable] = None, estep=None,
+                mesh=None) -> Dict:
     """PredCLS: GT boxes + labels, overlap-filtered pair grid.  Pass a
     prebuilt `estep` to reuse its jit cache across calls (the per-epoch
     test pass does — a fresh jit wrapper re-traces and recompiles the
-    whole pair-grid forward every epoch otherwise)."""
+    whole pair-grid forward every epoch otherwise).  With a mesh the step
+    shards batches over the 'data' axis (the reference's per-GPU eval
+    processes, main.py:112-123)."""
     ev, ev3 = _make_evaluators(cfg, artifacts, predcls=True)
     if estep is None:
-        estep = engine_lib.make_eval_step(model, cfg)
+        estep = engine_lib.make_eval_step(model, cfg, mesh=mesh)
     for i, batch in enumerate(batches):
         if max_batches is not None and i >= max_batches:
             break
@@ -161,12 +164,12 @@ def match_predicted_labels(det: Dict[str, np.ndarray],
 def run_eval_sgc(cfg, model, params, batches: Iterable[Dict],
                  detect_fn: Callable[[Dict], Dict],
                  artifacts=None, use_cs: bool = False,
-                 max_batches: Optional[int] = None) -> Dict:
+                 max_batches: Optional[int] = None, mesh=None) -> Dict:
     """SGCLS: GT boxes, predicted labels.  detect_fn(batch) must return the
     detection dict of ops.detection.postprocess_detections."""
     ev, ev3 = _make_evaluators(cfg, artifacts, predcls=False)
     ev3 = None   # Top-3 is a PredCLS-only report in the reference
-    estep = engine_lib.make_eval_step(model, cfg)
+    estep = engine_lib.make_eval_step(model, cfg, mesh=mesh)
     sub2super = artifacts.sub2super if artifacts is not None else None
     for i, batch in enumerate(batches):
         if max_batches is not None and i >= max_batches:
@@ -194,12 +197,12 @@ def run_eval_sgc(cfg, model, params, batches: Iterable[Dict],
 def run_eval_sgd(cfg, model, params, batches: Iterable[Dict],
                  detect_fn: Callable[[Dict], Dict],
                  artifacts=None, use_cs: bool = False,
-                 max_batches: Optional[int] = None) -> Dict:
+                 max_batches: Optional[int] = None, mesh=None) -> Dict:
     """SGDET: predicted boxes + labels drive the pair grid; GT pairs are the
     unmatched target set (reference utils.py:294-352)."""
     ev, ev3 = _make_evaluators(cfg, artifacts, predcls=False)
     ev3 = None   # Top-3 is a PredCLS-only report in the reference
-    estep = engine_lib.make_eval_step(model, cfg)
+    estep = engine_lib.make_eval_step(model, cfg, mesh=mesh)
     sub2super = artifacts.sub2super if artifacts is not None else None
     for i, batch in enumerate(batches):
         if max_batches is not None and i >= max_batches:

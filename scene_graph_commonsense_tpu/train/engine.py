@@ -344,17 +344,28 @@ def make_train_step(model: RelationClassifier, cfg, optimizer,
 def make_eval_step(model: RelationClassifier, cfg, capacity: int = 0,
                    chunk_size: int = 0,
                    use_pallas_pool: Optional[bool] = None,
-                   pallas_interpret: bool = False):
+                   pallas_interpret: bool = False,
+                   mesh: Optional[Mesh] = None):
     """Jitted deterministic forward returning everything the evaluator needs
     (relations, connectivity, packed indexing, overlap filter).  The fused
-    Pallas pair-assembly kernel is used automatically on TPU backends."""
+    Pallas pair-assembly kernel is used automatically on TPU backends.
+
+    With a mesh, the step is shard_map-ed over the 'data' axis — the
+    XLA-collective analogue of the reference's per-GPU eval processes
+    (reference main.py:112-123 mp.spawns eval_pc per GPU with a
+    DistributedSampler).  Each shard packs its own pair buffer at
+    capacity/shards; pair_img is shifted to GLOBAL batch indices before
+    the sharded outputs concatenate, so the host-side evaluator consumes
+    exactly the single-device contract."""
     cap = capacity or cfg.pair_capacity
     if use_pallas_pool is None:
         platform = jax.devices()[0].platform
         use_pallas_pool = platform not in ("cpu", "gpu")
+    shards = 1 if mesh is None else mesh.shape["data"]
+    local_cap = max(cap // shards, 1)
 
     def step(params, batch):
-        out, packed = forward_pairs(model, params, batch, cap,
+        out, packed = forward_pairs(model, params, batch, local_cap,
                                     deterministic=True,
                                     chunk_size=chunk_size,
                                     use_pallas_pool=use_pallas_pool,
@@ -365,14 +376,22 @@ def make_eval_step(model: RelationClassifier, cfg, capacity: int = 0,
         b, n = batch["cats"].shape
         iou_ok = iou_ok_grid.reshape(b, n * n)[
             packed.img, packed.sub * n + packed.obj] & packed.mask
+        pair_img = packed.img
+        if mesh is not None:
+            pair_img = pair_img + jax.lax.axis_index("data") * b
         return {
             "relation": out["relation"],
             "super_relation": out["super_relation"],
             "connectivity": out["connectivity"],
             "targets": targets,
-            "pair_img": packed.img, "pair_sub": packed.sub,
+            "pair_img": pair_img, "pair_sub": packed.sub,
             "pair_obj": packed.obj, "pair_mask": packed.mask,
             "iou_ok": iou_ok,
         }
 
-    return jax.jit(step)
+    if mesh is None:
+        return jax.jit(step)
+    sharded = jax.shard_map(
+        step, mesh=mesh, in_specs=(P(), P("data")),
+        out_specs=P("data"), check_vma=False)
+    return jax.jit(sharded)

@@ -142,3 +142,37 @@ def test_eval_step_flat_model(rng):
     out = jax.tree.map(np.asarray, estep(params, batch))
     assert out["relation"].shape[-1] == 50
     assert out["super_relation"] is None
+
+
+def test_eval_step_sharded_matches_single_device(rng):
+    """shard_map eval over the 8-device mesh must reproduce the
+    single-device eval contract exactly: same live pairs (under global
+    image indices) with the same scores."""
+    cfg = tiny_cfg(batch_size=8)
+    model = make_relation_classifier(cfg)
+    params = init_params(cfg, model, rng)
+    batch = tiny_batch(rng, cfg, with_aug=False)
+    mesh = make_mesh(data=8, model=1)
+    e1 = engine.make_eval_step(model, cfg)
+    e8 = engine.make_eval_step(model, cfg, mesh=mesh)
+    out1 = jax.tree.map(np.asarray, e1(params, batch))
+    out8 = jax.tree.map(np.asarray, e8(params, shard_batch(mesh, batch)))
+
+    def live(out):
+        m = out["pair_mask"]
+        return {(int(i), int(s), int(o)): k for k, (i, s, o) in enumerate(
+            zip(out["pair_img"][m], out["pair_sub"][m],
+                out["pair_obj"][m]))}
+
+    l1, l8 = live(out1), live(out8)
+    assert set(l1) == set(l8)
+    # align both outputs by (global image, sub, obj) key
+    i1 = np.asarray([l1[k] for k in sorted(l1)])
+    i8 = np.asarray([l8[k] for k in sorted(l8)])
+    m1, m8 = out1["pair_mask"], out8["pair_mask"]
+    np.testing.assert_allclose(out1["relation"][m1][i1],
+                               out8["relation"][m8][i8], atol=1e-5)
+    np.testing.assert_array_equal(out1["targets"][m1][i1],
+                                  out8["targets"][m8][i8])
+    np.testing.assert_array_equal(out1["iou_ok"][m1][i1],
+                                  out8["iou_ok"][m8][i8])
