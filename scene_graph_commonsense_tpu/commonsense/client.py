@@ -165,3 +165,61 @@ def query_edges_vision(edges: Sequence[str], image_path: str,
         votes.append(1 if re.search(r"\bYes\b", text, re.IGNORECASE)
                      else -1)
     return votes
+
+
+def batch_query_edges_concurrent(
+        edge_lists: Sequence[Sequence[str]], cache: EdgeCache,
+        transport: Callable[[List[str]], List[str]],
+        batch_size: int = 4, reuse_prob: float = 0.9, rng=None,
+        max_workers: int = 8) -> List[Tuple[List[int], int]]:
+    """Validates several images' edge lists with the network fan-out the
+    reference gets from its ThreadPoolExecutor (reference
+    evaluator.py:450-456) but without its data race: cache probes and
+    insertions run in the calling thread, and worker threads execute only
+    the pure `transport(prompts) -> completions` calls.  Semantically
+    identical to calling batch_query_edges per list (same cache-probe
+    order, same votes); only the network waits overlap.
+
+    Returns one (votes, cache_hits) pair per edge list.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    # phase 1 (calling thread): probabilistic cache probes, chunking
+    responses: List[List[Optional[int]]] = []
+    hits: List[int] = []
+    chunks: List[Tuple[int, List[str], List[int]]] = []
+    for li, edges in enumerate(edge_lists):
+        resp: List[Optional[int]] = [None] * len(edges)
+        hit = 0
+        to_query, slots = [], []
+        for i, edge in enumerate(edges):
+            cached = probabilistic_cache_lookup(cache, edge, reuse_prob,
+                                                rng)
+            if cached is not None:
+                resp[i] = cached
+                hit += 1
+            else:
+                to_query.append(edge)
+                slots.append(i)
+        responses.append(resp)
+        hits.append(hit)
+        for start in range(0, len(to_query), batch_size):
+            chunks.append((li, to_query[start:start + batch_size],
+                           slots[start:start + batch_size]))
+
+    # phase 2 (worker threads): pure transport calls only
+    if chunks:
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            completions = list(pool.map(
+                lambda c: transport(build_prompts(c[1])), chunks))
+    else:
+        completions = []
+
+    # phase 3 (calling thread): votes + cache insertion
+    for (li, chunk, slots), comps in zip(chunks, completions):
+        votes = majority_vote(comps, len(chunk))
+        for edge, slot, vote in zip(chunk, slots, votes):
+            responses[li][slot] = vote
+            cache.put(edge, vote)
+    return [([int(r) for r in resp], hit)
+            for resp, hit in zip(responses, hits)]

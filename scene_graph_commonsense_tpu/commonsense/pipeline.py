@@ -24,7 +24,8 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from scene_graph_commonsense_tpu.commonsense.cache import EdgeCache
-from scene_graph_commonsense_tpu.commonsense.client import batch_query_edges
+from scene_graph_commonsense_tpu.commonsense.client import (
+    batch_query_edges_concurrent)
 from scene_graph_commonsense_tpu.constants import (
     VG_OBJECTS, VG_RELATIONS_BY_SUPER)
 from scene_graph_commonsense_tpu.eval.recall import Candidates, Targets
@@ -221,12 +222,19 @@ def run_prepare_cs(cfg, model, params, batches, artifacts=None,
                             np.asarray(batch["cats"]),
                             np.asarray(batch["boxes"]),
                             np.asarray(batch["valid"]))
+        # collect every image's top-k edges first, then fan the network
+        # calls out concurrently (the reference's ThreadPoolExecutor
+        # parallelism across batch images, reference evaluator.py:450-456,
+        # without its shared-state race — see batch_query_edges_concurrent)
+        per_image = []
         for image in range(len(annot_paths)):
             predictions, graph = select_related_top_k(cand, tgt, image,
                                                       top_k)
-            if not graph:
-                continue
-            votes, _ = batch_query_edges(predictions, cache, transport)
+            if graph:
+                per_image.append((image, predictions, graph))
+        results = batch_query_edges_concurrent(
+            [p for _, p, _ in per_image], cache, transport)
+        for (image, _, graph), (votes, _) in zip(per_image, results):
             valid = [g for g, v in zip(graph, votes) if v == 1]
             invalid = [g for g, v in zip(graph, votes) if v != 1]
             name = os.path.splitext(os.path.basename(

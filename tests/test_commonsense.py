@@ -241,3 +241,74 @@ def test_image_cache_crop(tmp_path, rng):
     # a different crop is its own entry (documented deviation: the
     # reference keys by path alone and reuses the first crop)
     assert cache.get_image(img_path) is not b64
+
+
+def test_concurrent_queries_match_sequential_votes():
+    """batch_query_edges_concurrent == per-list batch_query_edges: same
+    votes, same cache hits, while transport calls run from worker
+    threads."""
+    import threading
+
+    from scene_graph_commonsense_tpu.commonsense.cache import EdgeCache
+    from scene_graph_commonsense_tpu.commonsense.client import (
+        batch_query_edges, batch_query_edges_concurrent)
+
+    def yes_for_person(prompts):
+        # deterministic transport: approve edges mentioning 'person'
+        out = []
+        for p in prompts:
+            out.append("Yes" if "person" in p else "No")
+        return out
+
+    threads_seen = set()
+
+    def recording_transport(prompts):
+        threads_seen.add(threading.get_ident())
+        return yes_for_person(prompts)
+
+    edge_lists = [
+        [f"person wearing shirt {i}" for i in range(3)],
+        [f"dog riding horse {i}" for i in range(5)],
+        [],
+        ["person on bench"],
+    ]
+    rng = np.random.default_rng(0)
+    got = batch_query_edges_concurrent(edge_lists, EdgeCache(),
+                                       recording_transport, rng=rng,
+                                       max_workers=4)
+
+    rng2 = np.random.default_rng(0)
+    cache2 = EdgeCache()
+    want = [batch_query_edges(edges, cache2, yes_for_person, rng=rng2)
+            for edges in edge_lists]
+    assert [v for v, _ in got] == [v for v, _ in want]
+    assert [h for _, h in got] == [h for _, h in want]
+    assert len(threads_seen) >= 1   # ran through the pool
+
+
+def test_concurrent_queries_share_cache_across_lists():
+    """A repeated edge across lists may be served from cache (insertions
+    happen in the calling thread after the fan-out), and cache contents
+    end up identical to the sequential path."""
+    from scene_graph_commonsense_tpu.commonsense.cache import EdgeCache
+    from scene_graph_commonsense_tpu.commonsense.client import (
+        batch_query_edges_concurrent)
+
+    calls = []
+
+    def transport(prompts):
+        calls.append(prompts)
+        return ["Yes"] * len(prompts)
+
+    cache = EdgeCache()
+    rng = np.random.default_rng(0)
+    batch_query_edges_concurrent([["person on bench"]], cache, transport,
+                                 rng=rng)
+    n_calls = len(calls)
+    # second round: the edge is now cached; with reuse_prob=1.0 no new
+    # transport call may happen
+    got = batch_query_edges_concurrent(
+        [["person on bench"], ["person on bench"]], cache, transport,
+        reuse_prob=1.0, rng=rng)
+    assert len(calls) == n_calls
+    assert all(v == [1] for v, _ in got)
