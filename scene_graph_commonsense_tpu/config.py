@@ -37,6 +37,9 @@ class DataConfig:
     annotation_train: str = "datasets/vg/annotations/instances_vg_train.json"
     annotation_test: str = "datasets/vg/annotations/instances_vg_test.json"
     artifacts_dir: str = "datasets/artifacts"  # npz triplet tables etc.
+    # Optional cache of frozen-DETR feature maps (one *_features.npz per
+    # image, tools/precompute_features.py); empty = encode per batch.
+    features_dir: str = ""
     area_frac_thresh: float = 0.002
     percent_train: float = 1.0
     percent_test: float = 1.0

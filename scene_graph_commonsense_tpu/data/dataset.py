@@ -177,19 +177,40 @@ class VGDataset:
             "annot_path": self.annot_path(idx),
         }
 
-        if self.load_images:
+        # Precomputed frozen-detector features (tools/precompute_features.py)
+        # replace the per-epoch DETR encode of the main view — the reference
+        # re-runs its frozen detector on every image every epoch (reference
+        # train_test.py:152-154).  The stochastic contrastive view can't be
+        # cached (fresh color jitter per epoch), so training still reads the
+        # image for image_aug; PredCLS eval skips image IO entirely.
+        have_features = False
+        if cfg.data.features_dir:
+            name = os.path.splitext(self.images[idx]["file_name"])[0]
+            fpath = os.path.join(cfg.data.features_dir,
+                                 name + "_features.npz")
+            if os.path.exists(fpath):
+                ex["features"] = np.load(fpath)["features"].astype(
+                    np.float32)
+                have_features = True
+
+        need_nonsq = (not self.training
+                      and cfg.training.eval_mode in ("sgc", "sgd"))
+        need_image = (not have_features or self.training
+                      or (not self.training and need_nonsq))
+        if self.load_images and need_image:
             img_path = os.path.join(cfg.data.image_dir,
                                     self.images[idx]["file_name"])
             if not os.path.exists(img_path):
                 return None
             from PIL import Image
             raw = np.asarray(Image.open(img_path).convert("RGB"))
-            ex["image"] = square_image(raw, cfg.model.image_size)
+            if not have_features:
+                ex["image"] = square_image(raw, cfg.model.image_size)
             if self.training:
                 ex["image_aug"] = square_image(
                     color_jitter(self.rng, raw.astype(np.float32)),
                     cfg.model.image_size)
-            else:
+            elif need_nonsq:
                 canvas, mask = nonsquare_canvas(raw)
                 ex["image_nonsq"] = canvas
                 ex["pixel_mask"] = mask

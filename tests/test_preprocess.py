@@ -240,3 +240,61 @@ def test_reference_pkl_interop(tmp_path):
     # rel 20 with direction 0: object 1 is subject of object 2
     assert ex["rel"][1, 2] == REL_FREQ2SCAT[20]
     assert ex["super_mh"][1, 0] == 1 and ex["super_mh"][1, 2] == 1
+
+
+def test_features_dir_cache(tmp_path):
+    """With data.features_dir set, the dataset emits the cached feature
+    map, skips the main-view image, and the featurizer leaves the cached
+    features untouched (only the contrastive view would be encoded)."""
+    from scene_graph_commonsense_tpu.config import derive
+    from scene_graph_commonsense_tpu.data.dataset import VGDataset
+
+    raw_img, raw_obj, raw_rel = make_raw_fixture()
+    write_vocab_files(tmp_path)
+    train, _, _ = pp.build_instances_dataset(
+        raw_img, raw_obj, raw_rel,
+        str(tmp_path / "object_alias.txt"),
+        str(tmp_path / "predicate_alias.txt"),
+        str(tmp_path / "object_list.txt"),
+        str(tmp_path / "object_types.txt"),
+        split_train_idx=[0, 1], split_test_idx=[],
+        num_classes=3, num_relations=2)
+    annot_dir = str(tmp_path / "annot")
+    pp.build_all_annotations(train, annot_dir, feature_size=16)
+
+    feat_dir = tmp_path / "features"
+    feat_dir.mkdir()
+    s, c = 16, 8
+    for img in train["images"]:
+        name = img["file_name"].rsplit(".", 1)[0]
+        feats = np.full((s, s, c), float(img["id"]), np.float16)
+        out = feat_dir / f"{name}_features.npz"
+        out.parent.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(out, features=feats)
+
+    cfg = derive("vg", data={"annot_dir": annot_dir, "max_objects": 6,
+                             "features_dir": str(feat_dir)},
+                 model={"feature_size": s, "num_img_feature": c},
+                 training={"eval_mode": "pc"})
+    # eval (pc): cached features, no image IO at all
+    ds = VGDataset(cfg, train, training=False, load_images=True)
+    ex = ds.get_example(0)
+    assert ex is not None
+    assert ex["features"].shape == (s, s, c)
+    assert ex["features"].dtype == np.float32
+    assert "image" not in ex and "image_nonsq" not in ex
+
+    # training: cached main view + image_aug for the contrastive view
+    # (needs the actual image file, which this fixture doesn't ship, so
+    # get_example returns None — the image requirement itself is the
+    # asserted behavior)
+    ds_tr = VGDataset(cfg, train, training=True, load_images=True)
+    assert ds_tr.get_example(0) is None
+
+    # featurize must not recompute cached features
+    from scene_graph_commonsense_tpu.train.loop import (
+        make_detr_featurize_fn)
+    sentinel = ex["features"][None]
+    batch = {"features": sentinel}
+    out = make_detr_featurize_fn(cfg, None, None)(batch)
+    assert out["features"] is sentinel
