@@ -131,10 +131,15 @@ def test_rewrite_annotation_round_trip():
     assert (rel_back >= 0).sum() == 2
 
 
-def test_cli_synthetic_smoke():
+def test_cli_synthetic_smoke(tmp_path):
+    cfg = tmp_path / "cfg.yaml"
+    cfg.write_text(
+        "model:\n  feature_size: 16\n  hidden_dim: 8\n"
+        "  num_img_feature: 16\ndata:\n  max_objects: 6\n")
     cmd = [sys.executable, "tools/label_transfer.py", "--mode", "ietrans",
-           "--synthetic", "2", "--batch_size", "2"]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=600)
+           "--synthetic", "2", "--batch_size", "2",
+           "--config", str(cfg)]
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
     assert out.returncode == 0, out.stderr[-2000:]
     line = out.stdout.strip().splitlines()[-1]
     import json
