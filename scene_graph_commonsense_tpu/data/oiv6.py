@@ -84,6 +84,15 @@ class OIV6Dataset:
             "depth": depth,
             "annot_path": rec["img_fn"],
         }
+        # precomputed frozen-detector features, same contract as VGDataset
+        # (tools/precompute_features.py + data.features_dir)
+        have_features = False
+        if cfg.data.features_dir:
+            fp = os.path.join(cfg.data.features_dir,
+                              rec["img_fn"] + "_features.npz")
+            if os.path.exists(fp):
+                ex["features"] = np.load(fp)["features"].astype(np.float32)
+                have_features = True
         if self.load_images and self.image_dir is not None:
             from PIL import Image
             path = os.path.join(self.image_dir, rec["img_fn"] + ".jpg")
@@ -92,10 +101,11 @@ class OIV6Dataset:
             raw = np.asarray(Image.open(path).convert("RGB"))
             from scene_graph_commonsense_tpu.data.dataset import (
                 nonsquare_canvas)
-            img = Image.fromarray(raw).resize(
-                (self.cfg.model.image_size, self.cfg.model.image_size))
-            ex["image"] = np.asarray(img, np.float32)[..., ::-1] \
-                - OIV6_BGR_MEAN
+            if not have_features:
+                img = Image.fromarray(raw).resize(
+                    (self.cfg.model.image_size, self.cfg.model.image_size))
+                ex["image"] = np.asarray(img, np.float32)[..., ::-1] \
+                    - OIV6_BGR_MEAN
             canvas, mask = nonsquare_canvas(raw)
             ex["image_nonsq"] = canvas
             ex["pixel_mask"] = mask
