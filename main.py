@@ -251,9 +251,11 @@ def main():
                         widths=[s] * cfg.training.batch_size,
                         feature_size=cfg.model.feature_size)
 
+            from scene_graph_commonsense_tpu.train.loop import eval_mesh
             res = engines.run_eval_pc(cfg, model, params, batches,
                                       artifacts=artifacts, use_cs=use_cs,
-                                      on_batch=on_batch, mesh=mesh)
+                                      on_batch=on_batch,
+                                      mesh=eval_mesh(cfg, mesh))
         elif args.synthetic:
             sys.exit("sgc/sgd need detector outputs; run on real data with "
                      "a converted DETR checkpoint")
@@ -261,8 +263,10 @@ def main():
             detect_fn = engines.make_detr_detect_fn(cfg, detr, detr_params)
             runner = (engines.run_eval_sgc if cfg.training.eval_mode ==
                       "sgc" else engines.run_eval_sgd)
+            from scene_graph_commonsense_tpu.train.loop import eval_mesh
             res = runner(cfg, model, params, batches, detect_fn,
-                         artifacts=artifacts, use_cs=use_cs, mesh=mesh)
+                         artifacts=artifacts, use_cs=use_cs,
+                         mesh=eval_mesh(cfg, mesh))
         print(json.dumps({k: v for k, v in res.items()
                           if isinstance(v, (int, float, list))
                           and k != "recall_per_class"}, default=str))

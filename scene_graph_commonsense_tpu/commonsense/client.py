@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Callable, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 from scene_graph_commonsense_tpu.commonsense.cache import (
     EdgeCache, ImageCache, probabilistic_cache_lookup)
@@ -180,46 +180,59 @@ def batch_query_edges_concurrent(
     identical to calling batch_query_edges per list (same cache-probe
     order, same votes); only the network waits overlap.
 
+    An edge repeated across (or within) the lists is dispatched ONCE and
+    its vote shared — the in-flight analogue of the sequential path, where
+    the first occurrence's cached vote serves the later ones; shared
+    occurrences count as cache hits.  (The one remaining deviation from
+    strict per-list sequencing: the sequential path re-queries duplicates
+    with probability 1-reuse_prob; the fan-out never does.)
+
     Returns one (votes, cache_hits) pair per edge list.
     """
     from concurrent.futures import ThreadPoolExecutor
 
-    # phase 1 (calling thread): probabilistic cache probes, chunking
+    # phase 1 (calling thread): probabilistic cache probes + in-flight
+    # dedup
     responses: List[List[Optional[int]]] = []
     hits: List[int] = []
-    chunks: List[Tuple[int, List[str], List[int]]] = []
+    pending: Dict[str, List[Tuple[int, int]]] = {}
+    order: List[str] = []
     for li, edges in enumerate(edge_lists):
         resp: List[Optional[int]] = [None] * len(edges)
         hit = 0
-        to_query, slots = [], []
         for i, edge in enumerate(edges):
+            if edge in pending:
+                pending[edge].append((li, i))
+                hit += 1
+                continue
             cached = probabilistic_cache_lookup(cache, edge, reuse_prob,
                                                 rng)
             if cached is not None:
                 resp[i] = cached
                 hit += 1
             else:
-                to_query.append(edge)
-                slots.append(i)
+                pending[edge] = [(li, i)]
+                order.append(edge)
         responses.append(resp)
         hits.append(hit)
-        for start in range(0, len(to_query), batch_size):
-            chunks.append((li, to_query[start:start + batch_size],
-                           slots[start:start + batch_size]))
+
+    chunks = [order[start:start + batch_size]
+              for start in range(0, len(order), batch_size)]
 
     # phase 2 (worker threads): pure transport calls only
     if chunks:
         with ThreadPoolExecutor(max_workers=max_workers) as pool:
             completions = list(pool.map(
-                lambda c: transport(build_prompts(c[1])), chunks))
+                lambda c: transport(build_prompts(c)), chunks))
     else:
         completions = []
 
-    # phase 3 (calling thread): votes + cache insertion
-    for (li, chunk, slots), comps in zip(chunks, completions):
+    # phase 3 (calling thread): votes + cache insertion + slot fill
+    for chunk, comps in zip(chunks, completions):
         votes = majority_vote(comps, len(chunk))
-        for edge, slot, vote in zip(chunk, slots, votes):
-            responses[li][slot] = vote
+        for edge, vote in zip(chunk, votes):
             cache.put(edge, vote)
+            for li, slot in pending[edge]:
+                responses[li][slot] = vote
     return [([int(r) for r in resp], hit)
             for resp, hit in zip(responses, hits)]

@@ -113,6 +113,30 @@ def nonsquare_canvas(image: np.ndarray, min_side: int = 600,
     return canvas, mask
 
 
+def check_feature_cache(features_dir: str, names) -> bool:
+    """True iff a feature cache is configured AND holds every image of
+    this split.  A partial cache is rejected wholesale (with a warning):
+    examples would otherwise emit disjoint key sets ('features' XOR
+    'image') and collate — which stacks by the first example's keys —
+    would crash on mixed batches."""
+    if not features_dir:
+        return False
+    missing = 0
+    total = 0
+    for name in names:
+        total += 1
+        if not os.path.exists(os.path.join(features_dir,
+                                           name + "_features.npz")):
+            missing += 1
+    if missing:
+        print(f"WARNING: feature cache {features_dir} is missing "
+              f"{missing}/{total} maps — falling back to per-batch "
+              f"encoding (run tools/precompute_features.py to complete "
+              f"it)")
+        return False
+    return total > 0
+
+
 class VGDataset:
     """Per-image examples in the padded pair-grid format."""
 
@@ -124,6 +148,9 @@ class VGDataset:
         self.images = annotations["images"]
         self.rel_map = rel_index_map(cfg.data.supcat_clustering)
         self.rng = np.random.default_rng(seed)
+        self.use_feature_cache = check_feature_cache(
+            cfg.data.features_dir,
+            (os.path.splitext(img["file_name"])[0] for img in self.images))
 
     def __len__(self):
         return len(self.images)
@@ -184,19 +211,16 @@ class VGDataset:
         # cached (fresh color jitter per epoch), so training still reads the
         # image for image_aug; PredCLS eval skips image IO entirely.
         have_features = False
-        if cfg.data.features_dir:
+        if self.use_feature_cache:
             name = os.path.splitext(self.images[idx]["file_name"])[0]
             fpath = os.path.join(cfg.data.features_dir,
                                  name + "_features.npz")
-            if os.path.exists(fpath):
-                ex["features"] = np.load(fpath)["features"].astype(
-                    np.float32)
-                have_features = True
+            ex["features"] = np.load(fpath)["features"].astype(np.float32)
+            have_features = True
 
         need_nonsq = (not self.training
                       and cfg.training.eval_mode in ("sgc", "sgd"))
-        need_image = (not have_features or self.training
-                      or (not self.training and need_nonsq))
+        need_image = not have_features or self.training or need_nonsq
         if self.load_images and need_image:
             img_path = os.path.join(cfg.data.image_dir,
                                     self.images[idx]["file_name"])

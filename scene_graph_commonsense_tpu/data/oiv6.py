@@ -34,6 +34,11 @@ class OIV6Dataset:
         self.load_images = load_images
         with open(annotation_path) as f:
             self.annotations = json.load(f)
+        from scene_graph_commonsense_tpu.data.dataset import (
+            check_feature_cache)
+        self.use_feature_cache = check_feature_cache(
+            cfg.data.features_dir,
+            (rec["img_fn"] for rec in self.annotations))
 
     def __len__(self):
         return len(self.annotations)
@@ -85,14 +90,14 @@ class OIV6Dataset:
             "annot_path": rec["img_fn"],
         }
         # precomputed frozen-detector features, same contract as VGDataset
-        # (tools/precompute_features.py + data.features_dir)
+        # (tools/precompute_features.py + data.features_dir; a partial
+        # cache is rejected at __init__ — see check_feature_cache)
         have_features = False
-        if cfg.data.features_dir:
+        if self.use_feature_cache:
             fp = os.path.join(cfg.data.features_dir,
                               rec["img_fn"] + "_features.npz")
-            if os.path.exists(fp):
-                ex["features"] = np.load(fp)["features"].astype(np.float32)
-                have_features = True
+            ex["features"] = np.load(fp)["features"].astype(np.float32)
+            have_features = True
         if self.load_images and self.image_dir is not None:
             from PIL import Image
             path = os.path.join(self.image_dir, rec["img_fn"] + ".jpg")

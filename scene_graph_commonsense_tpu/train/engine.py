@@ -362,7 +362,12 @@ def make_eval_step(model: RelationClassifier, cfg, capacity: int = 0,
         platform = jax.devices()[0].platform
         use_pallas_pool = platform not in ("cpu", "gpu")
     shards = 1 if mesh is None else mesh.shape["data"]
-    local_cap = max(cap // shards, 1)
+    # ceil: no capacity slots are lost to the division.  Note the
+    # truncation semantics still differ from single-device when
+    # pair_capacity is set below worst case: each SHARD truncates at its
+    # own bound, so a dense shard can drop pairs a global pack would have
+    # kept.  The default capacity (full worst case) can never truncate.
+    local_cap = max(-(-cap // shards), 1)
 
     def step(params, batch):
         out, packed = forward_pairs(model, params, batch, local_cap,

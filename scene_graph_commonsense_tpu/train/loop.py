@@ -45,6 +45,19 @@ def lr_schedule(cfg, steps_per_epoch: int):
     return optax.piecewise_constant_schedule(base, boundaries)
 
 
+def eval_mesh(cfg, mesh):
+    """The mesh to use for sharded evaluation, or None when the eval batch
+    cannot be evenly sharded (shard_map requires the batch dimension to
+    divide by the 'data' axis; falling back to single-device eval beats a
+    trace-time crash)."""
+    if mesh is None:
+        return None
+    shards = mesh.shape["data"]
+    if shards <= 1 or cfg.training.batch_size % shards != 0:
+        return None
+    return mesh
+
+
 def load_detr_featurizer(cfg, log_fn=print):
     """Builds the frozen DETR-101 featurizer: loads converted weights from
     cfg.model.detr_pretrained when present (random init with a loud
@@ -165,7 +178,8 @@ def fit(cfg, model, params, train_batches_fn: Callable[[int], Iterable],
         build_candidates, build_targets)
     from scene_graph_commonsense_tpu.eval.engines import _make_evaluators
     train_eval, _ = _make_evaluators(cfg, artifacts, predcls=True)
-    train_estep = engine.make_eval_step(model, cfg)
+    train_estep = engine.make_eval_step(model, cfg,
+                                        mesh=eval_mesh(cfg, mesh))
 
     # host-side step counter: int(state.step) would block on the device
     # every iteration (state.step is an output of the async-dispatched

@@ -1,6 +1,5 @@
 """IETrans / NICE data transfer operators and the annotation round trip."""
 
-import subprocess
 import sys
 
 import numpy as np
@@ -131,18 +130,29 @@ def test_rewrite_annotation_round_trip():
     assert (rel_back >= 0).sum() == 2
 
 
-def test_cli_synthetic_smoke(tmp_path):
+def test_cli_synthetic_smoke(tmp_path, capsys, monkeypatch):
+    """Drives tools/label_transfer.py's main() in-process on the CPU test
+    backend (a subprocess would compile on the real accelerator and
+    contend with concurrently running tests)."""
+    import importlib.util
+    import json
+    import os
+
     cfg = tmp_path / "cfg.yaml"
     cfg.write_text(
         "model:\n  feature_size: 16\n  hidden_dim: 8\n"
         "  num_img_feature: 16\ndata:\n  max_objects: 6\n")
-    cmd = [sys.executable, "tools/label_transfer.py", "--mode", "ietrans",
-           "--synthetic", "2", "--batch_size", "2",
-           "--config", str(cfg)]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
-    assert out.returncode == 0, out.stderr[-2000:]
-    line = out.stdout.strip().splitlines()[-1]
-    import json
+    spec = importlib.util.spec_from_file_location(
+        "label_transfer_tool",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tools", "label_transfer.py"))
+    tool = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(tool)
+    monkeypatch.setattr(sys, "argv", [
+        "label_transfer.py", "--mode", "ietrans", "--synthetic", "2",
+        "--batch_size", "2", "--config", str(cfg)])
+    tool.main()
+    line = capsys.readouterr().out.strip().splitlines()[-1]
     rec = json.loads(line)
     assert rec["mode"] == "ietrans"
     assert rec["images"] == 4

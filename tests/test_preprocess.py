@@ -298,3 +298,41 @@ def test_features_dir_cache(tmp_path):
     batch = {"features": sentinel}
     out = make_detr_featurize_fn(cfg, None, None)(batch)
     assert out["features"] is sentinel
+
+
+def test_partial_feature_cache_rejected(tmp_path, capsys):
+    """A features_dir missing any image's map must be rejected wholesale
+    (mixed batches would emit disjoint key sets and crash collate)."""
+    from scene_graph_commonsense_tpu.config import derive
+    from scene_graph_commonsense_tpu.data.dataset import VGDataset
+
+    raw_img, raw_obj, raw_rel = make_raw_fixture()
+    write_vocab_files(tmp_path)
+    train, _, _ = pp.build_instances_dataset(
+        raw_img, raw_obj, raw_rel,
+        str(tmp_path / "object_alias.txt"),
+        str(tmp_path / "predicate_alias.txt"),
+        str(tmp_path / "object_list.txt"),
+        str(tmp_path / "object_types.txt"),
+        split_train_idx=[0, 1], split_test_idx=[],
+        num_classes=3, num_relations=2)
+    annot_dir = str(tmp_path / "annot")
+    pp.build_all_annotations(train, annot_dir, feature_size=16)
+
+    feat_dir = tmp_path / "features"
+    # only the FIRST image gets a cached map
+    img = train["images"][0]
+    name = img["file_name"].rsplit(".", 1)[0]
+    out = feat_dir / f"{name}_features.npz"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    np.savez_compressed(out, features=np.zeros((16, 16, 8), np.float16))
+
+    cfg = derive("vg", data={"annot_dir": annot_dir, "max_objects": 6,
+                             "features_dir": str(feat_dir)},
+                 model={"feature_size": 16, "num_img_feature": 8},
+                 training={"eval_mode": "pc"})
+    ds = VGDataset(cfg, train, training=False, load_images=False)
+    assert not ds.use_feature_cache
+    assert "missing" in capsys.readouterr().out
+    ex = ds.get_example(0)
+    assert ex is not None and "features" not in ex

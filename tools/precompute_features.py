@@ -46,29 +46,45 @@ def main():
     annot = (cfg.data.annotation_train if args.split == "train"
              else cfg.data.annotation_test)
     if not os.path.exists(annot):
-        sys.exit(f"{annot} not found — run tools/preprocess_vg.py first")
-    with open(annot) as f:
-        annotations = json.load(f)
+        sys.exit(f"{annot} not found — run the preprocessing pipeline "
+                 f"first")
     # training=False: no contrastive view; the features of the MAIN view
     # are what gets cached
-    ds = VGDataset(cfg, annotations, training=False)
-    featurize, _, _ = load_detr_featurizer(cfg)
+    if cfg.data.dataset == "oiv6":
+        from scene_graph_commonsense_tpu.data.oiv6 import (
+            OIV6Dataset, oiv6_batches)
+        ds = OIV6Dataset(cfg, annot, training=False,
+                         image_dir=cfg.data.image_dir, load_images=True)
+        batches = oiv6_batches(ds, args.batch_size, shuffle=False,
+                               drop_last=False)
 
+        def name_of(path):
+            # OIv6 annot_path is the bare img_fn
+            return str(path)
+    else:
+        with open(annot) as f:
+            annotations = json.load(f)
+        ds = VGDataset(cfg, annotations, training=False)
+        batches = batches_from_dataset(ds, args.batch_size, shuffle=False,
+                                       drop_last=False)
+
+        def name_of(path):
+            # mirror the annotation cache's relative layout (file names
+            # may carry subdirectories, e.g. VG_100K/123) so the
+            # dataset's features_dir lookup by image file_name resolves
+            name = os.path.relpath(str(path), cfg.data.annot_dir)
+            return name.replace("_annotations.pkl", "").replace(
+                "_annotations.npz", "")
+
+    featurize, _, _ = load_detr_featurizer(cfg)
     os.makedirs(args.out, exist_ok=True)
     written = 0
-    for batch in batches_from_dataset(ds, args.batch_size, shuffle=False,
-                                      drop_last=False):
+    for batch in batches:
         paths = batch.get("annot_path")
         batch = featurize(batch)
         feats = np.asarray(batch["features"], np.float16)
         for bi, path in enumerate(paths):
-            # mirror the annotation cache's relative layout (file names may
-            # carry subdirectories, e.g. VG_100K/123) so the dataset's
-            # features_dir lookup by image file_name resolves
-            name = os.path.relpath(str(path), cfg.data.annot_dir)
-            name = name.replace("_annotations.pkl", "").replace(
-                "_annotations.npz", "")
-            out = os.path.join(args.out, name + "_features.npz")
+            out = os.path.join(args.out, name_of(path) + "_features.npz")
             os.makedirs(os.path.dirname(out), exist_ok=True)
             np.savez_compressed(out, features=feats[bi])
             written += 1
