@@ -260,10 +260,11 @@ def main():
             sys.exit("sgc/sgd need detector outputs; run on real data with "
                      "a converted DETR checkpoint")
         else:
-            detect_fn = engines.make_detr_detect_fn(cfg, detr, detr_params)
+            from scene_graph_commonsense_tpu.train.loop import eval_mesh
+            detect_fn = engines.make_detr_detect_fn(
+                cfg, detr, detr_params, mesh=eval_mesh(cfg, mesh))
             runner = (engines.run_eval_sgc if cfg.training.eval_mode ==
                       "sgc" else engines.run_eval_sgd)
-            from scene_graph_commonsense_tpu.train.loop import eval_mesh
             res = runner(cfg, model, params, batches, detect_fn,
                          artifacts=artifacts, use_cs=use_cs,
                          mesh=eval_mesh(cfg, mesh))

@@ -241,19 +241,31 @@ def run_eval_sgd(cfg, model, params, batches: Iterable[Dict],
 
 
 def make_detr_detect_fn(cfg, detr_model, detr_params,
-                        image_key: str = "image_nonsq"):
+                        image_key: str = "image_nonsq", mesh=None):
     """Builds detect_fn: full DETR forward + static postprocess (reference
-    evaluate.py:309-368)."""
+    evaluate.py:309-368).
+
+    With a mesh, images/outputs are annotated batch-sharded over 'data'
+    and GSPMD partitions the whole detector (detection is embarrassingly
+    parallel per image — NMS and postprocess are vmapped); params stay
+    replicated."""
     import jax.numpy as jnp
 
-    @jax.jit
-    def _detect(images, pixel_mask):
+    def _detect_impl(images, pixel_mask):
         out = detr_model.apply(detr_params, images, pixel_mask)
         return postprocess_detections(
             out["pred_logits"], out["pred_boxes"], OBJ_ALP2FRE,
             num_classes=cfg.model.num_classes, topk_cat=cfg.model.topk_cat,
             feature_size=cfg.model.feature_size, nms_iou=cfg.model.nms_iou,
             max_objects=cfg.data.max_objects)
+
+    if mesh is None:
+        _detect = jax.jit(_detect_impl)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec
+        data_sh = NamedSharding(mesh, PartitionSpec("data"))
+        _detect = jax.jit(_detect_impl, in_shardings=(data_sh, data_sh),
+                          out_shardings=data_sh)
 
     def detect_fn(batch):
         images = jnp.asarray(batch[image_key])

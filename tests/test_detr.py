@@ -201,3 +201,28 @@ def test_postprocess_detections(rng):
     for bi in range(b):
         cc = conf[bi][v[bi]]
         assert (np.diff(cc) <= 1e-6).all()
+
+
+def test_sharded_detect_fn_matches_single_device(rng):
+    """make_detr_detect_fn(mesh=...) — GSPMD batch sharding of the whole
+    detection path — must produce the single-device outputs."""
+    from scene_graph_commonsense_tpu.config import derive
+    from scene_graph_commonsense_tpu.eval.engines import make_detr_detect_fn
+    from scene_graph_commonsense_tpu.parallel.mesh import make_mesh
+
+    mdl = small_detr()
+    img = np.asarray(rng.standard_normal((8, 64, 64, 3)), np.float32)
+    mask = np.ones((8, 64, 64), bool)
+    params = mdl.init(jax.random.PRNGKey(0), jnp.asarray(img[:1]),
+                      jnp.asarray(mask[:1]))
+    cfg = derive("vg", data={"max_objects": 6})
+    batch = {"image_nonsq": img, "pixel_mask": mask}
+    d1 = jax.tree.map(np.asarray,
+                      make_detr_detect_fn(cfg, mdl, params)(batch))
+    mesh = make_mesh(data=8, model=1)
+    d8 = jax.tree.map(np.asarray,
+                      make_detr_detect_fn(cfg, mdl, params,
+                                          mesh=mesh)(batch))
+    for k in d1:
+        np.testing.assert_allclose(d1[k], d8[k], atol=1e-4,
+                                   err_msg=f"mismatch in {k}")
