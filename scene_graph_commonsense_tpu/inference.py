@@ -31,13 +31,16 @@ class SceneGraphPredictor:
 
     def __init__(self, cfg, relation_params, detr_model=None,
                  detr_params=None, validator=None,
-                 use_pallas_pool: Optional[bool] = None):
+                 use_pallas_pool: Optional[bool] = None, mesh=None):
+        """`mesh`: optional jax.sharding.Mesh with a 'data' axis; serving
+        batches then shard over it (make_eval_step's sharded path).  The
+        batch size must divide by the axis size."""
         self.cfg = cfg
         self.model = make_relation_classifier(cfg)
         self.params = relation_params
         self.validator = validator
         self.estep = engine_lib.make_eval_step(
-            self.model, cfg, use_pallas_pool=use_pallas_pool)
+            self.model, cfg, use_pallas_pool=use_pallas_pool, mesh=mesh)
         self.featurize = None
         if detr_model is not None and detr_params is not None:
             from scene_graph_commonsense_tpu.train.loop import (
