@@ -107,6 +107,29 @@ def save_pseudo_annotations(out_dir: str, annot_name: str,
     return path
 
 
+def load_pseudo_annotations(out_dir: str, annot_name: str):
+    """Inverse of save_pseudo_annotations; None when the per-image file
+    doesn't exist yet.  Lets an interrupted prepare_cs resume without
+    re-querying the LLM for already-validated images (the point of the
+    reference's restartable per-image artifacts, reference
+    evaluator.py:436-444 + its separate accumulation pass)."""
+    path = os.path.join(out_dir, annot_name + "_pseudo_annotations.npz")
+    if not os.path.exists(path):
+        return None
+    data = np.load(path)
+
+    def unpack(prefix):
+        n = len(data[f"{prefix}_rel"])
+        return [{"rel": int(data[f"{prefix}_rel"][i]),
+                 "sub_box": data[f"{prefix}_sub_box"][i],
+                 "obj_box": data[f"{prefix}_obj_box"][i],
+                 "sub_cat": int(data[f"{prefix}_sub_cat"][i]),
+                 "obj_cat": int(data[f"{prefix}_obj_cat"][i])}
+                for i in range(n)]
+
+    return unpack("valid"), unpack("invalid")
+
+
 class TripletStore:
     """Phase-2 accumulator (reference dataloader.py:168-244)."""
 
@@ -225,21 +248,31 @@ def run_prepare_cs(cfg, model, params, batches, artifacts=None,
         # collect every image's top-k edges first, then fan the network
         # calls out concurrently (the reference's ThreadPoolExecutor
         # parallelism across batch images, reference evaluator.py:450-456,
-        # without its shared-state race — see batch_query_edges_concurrent)
+        # without its shared-state race — see batch_query_edges_concurrent).
+        # Images whose per-image artifact already exists resume from it
+        # instead of re-querying (the restartability the two-phase design
+        # exists for).
         per_image = []
+        done = []
         for image in range(len(annot_paths)):
+            name = os.path.splitext(os.path.basename(
+                str(annot_paths[image])))[0]
+            existing = load_pseudo_annotations(out_dir, name)
+            if existing is not None:
+                done.append((image, None) + existing)
+                continue
             predictions, graph = select_related_top_k(cand, tgt, image,
                                                       top_k)
             if graph:
-                per_image.append((image, predictions, graph))
+                per_image.append((image, name, predictions, graph))
         results = batch_query_edges_concurrent(
-            [p for _, p, _ in per_image], cache, transport)
-        for (image, _, graph), (votes, _) in zip(per_image, results):
+            [p for _, _, p, _ in per_image], cache, transport)
+        for (image, name, _, graph), (votes, _) in zip(per_image, results):
             valid = [g for g, v in zip(graph, votes) if v == 1]
             invalid = [g for g, v in zip(graph, votes) if v != 1]
-            name = os.path.splitext(os.path.basename(
-                str(annot_paths[image])))[0]
             save_pseudo_annotations(out_dir, name, valid, invalid)
+            done.append((image, name, valid, invalid))
+        for image, _, valid, invalid in done:
             # phase 2 accumulation
             store.add_gt_image(np.asarray(batch["rel"])[image],
                                np.asarray(batch["cats"])[image])

@@ -312,3 +312,44 @@ def test_concurrent_queries_share_cache_across_lists():
         reuse_prob=1.0, rng=rng)
     assert len(calls) == n_calls
     assert all(v == [1] for v, _ in got)
+
+
+def test_prepare_cs_resumes_from_per_image_artifacts(tmp_path, rng):
+    """A second prepare_cs pass over the same images must not re-query the
+    LLM (the restartable-unit design, reference evaluator.py:436-444) and
+    must rebuild the same triplet table from the saved files."""
+    import sys
+    sys.path.insert(0, "tests")
+    import dataclasses
+
+    from test_engine import tiny_cfg, tiny_batch, init_params
+    from scene_graph_commonsense_tpu.models.relation_head import (
+        make_relation_classifier)
+
+    cfg = tiny_cfg()
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, annot_dir=str(tmp_path),
+                                 artifacts_dir=str(tmp_path)),
+        training=dataclasses.replace(cfg.training, run_mode="prepare_cs"))
+    model = make_relation_classifier(cfg)
+    params = init_params(cfg, model, rng)
+    calls = []
+
+    def transport(prompts):
+        calls.append(prompts)
+        return ["Yes"] * len(prompts)
+
+    batches = [tiny_batch(rng, cfg, with_aug=False)]
+    out_dir = str(tmp_path / "cs")
+    p1 = run_prepare_cs(cfg, model, params, batches, transport=transport,
+                        out_dir=out_dir)
+    n_calls = len(calls)
+    assert n_calls > 0
+    t1 = {k: np.load(p1)[k] for k in np.load(p1).files}
+
+    p2 = run_prepare_cs(cfg, model, params, batches, transport=transport,
+                        out_dir=out_dir)
+    assert len(calls) == n_calls          # zero new LLM queries
+    t2 = {k: np.load(p2)[k] for k in np.load(p2).files}
+    for k in t1:
+        np.testing.assert_array_equal(np.sort(t1[k]), np.sort(t2[k]))
