@@ -223,6 +223,11 @@ def run_prepare_cs(cfg, model, params, batches, artifacts=None,
     out_dir = out_dir or os.path.join(cfg.data.annot_dir,
                                       f"cs_top{top_k}")
     cache = EdgeCache()
+    image_cache = None
+    if cfg.model.llm_model == "gpt4v":
+        from scene_graph_commonsense_tpu.commonsense.cache import ImageCache
+        image_cache = ImageCache(cfg.model.image_size,
+                                 cfg.model.feature_size)
     store = TripletStore()
     estep = engine_lib.make_eval_step(model, cfg)
     m = cfg.model
@@ -265,8 +270,23 @@ def run_prepare_cs(cfg, model, params, batches, artifacts=None,
                                                       top_k)
             if graph:
                 per_image.append((image, name, predictions, graph))
-        results = batch_query_edges_concurrent(
-            [p for _, _, p, _ in per_image], cache, transport)
+        if cfg.model.llm_model == "gpt4v":
+            # vision path (reference query_llm.py:193-257): one CoT query
+            # per edge over the union-box crop of the image; votes are
+            # uncached (each crop is edge-specific)
+            from scene_graph_commonsense_tpu.commonsense.client import (
+                query_edges_vision)
+            results = []
+            for image, name, predictions, graph in per_image:
+                img_path = os.path.join(cfg.data.image_dir, name + ".jpg")
+                votes = query_edges_vision(
+                    predictions, img_path,
+                    [g["sub_box"] for g in graph],
+                    [g["obj_box"] for g in graph], image_cache, transport)
+                results.append((votes, 0))
+        else:
+            results = batch_query_edges_concurrent(
+                [p for _, _, p, _ in per_image], cache, transport)
         for (image, name, _, graph), (votes, _) in zip(per_image, results):
             valid = [g for g, v in zip(graph, votes) if v == 1]
             invalid = [g for g, v in zip(graph, votes) if v != 1]

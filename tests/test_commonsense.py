@@ -353,3 +353,40 @@ def test_prepare_cs_resumes_from_per_image_artifacts(tmp_path, rng):
     t2 = {k: np.load(p2)[k] for k in np.load(p2).files}
     for k in t1:
         np.testing.assert_array_equal(np.sort(t1[k]), np.sort(t2[k]))
+
+
+def test_prepare_cs_gpt4v_path(tmp_path, rng):
+    """llm_model='gpt4v' routes through the vision validator; with no
+    image files on disk every edge votes -1 (invalid), and the pipeline
+    still produces the triplet tables."""
+    import sys
+    sys.path.insert(0, "tests")
+    import dataclasses
+
+    from test_engine import tiny_cfg, tiny_batch, init_params
+    from scene_graph_commonsense_tpu.models.relation_head import (
+        make_relation_classifier)
+
+    cfg = tiny_cfg()
+    cfg = cfg.replace(
+        data=dataclasses.replace(cfg.data, annot_dir=str(tmp_path),
+                                 artifacts_dir=str(tmp_path)),
+        model=dataclasses.replace(cfg.model, llm_model="gpt4v"),
+        training=dataclasses.replace(cfg.training, run_mode="prepare_cs"))
+    model = make_relation_classifier(cfg)
+    params = init_params(cfg, model, rng)
+    calls = []
+
+    def transport(prompts):
+        calls.append(prompts)
+        return ["Yes"] * len(prompts)
+
+    batches = [tiny_batch(rng, cfg, with_aug=False)]
+    path = run_prepare_cs(cfg, model, params, batches,
+                          transport=transport,
+                          out_dir=str(tmp_path / "cs"))
+    assert calls == []          # no image files -> no VLM calls
+    data = np.load(path)
+    # every queried edge was rejected; violated table may hold non-GT
+    # triplets, aligned table holds at least the GT ones
+    assert len(data["cs_aligned_sub"]) > 0
