@@ -261,13 +261,13 @@ def main():
                      "a converted DETR checkpoint")
         else:
             from scene_graph_commonsense_tpu.train.loop import eval_mesh
+            em = eval_mesh(cfg, mesh)
             detect_fn = engines.make_detr_detect_fn(
-                cfg, detr, detr_params, mesh=eval_mesh(cfg, mesh))
+                cfg, detr, detr_params, mesh=em)
             runner = (engines.run_eval_sgc if cfg.training.eval_mode ==
                       "sgc" else engines.run_eval_sgd)
             res = runner(cfg, model, params, batches, detect_fn,
-                         artifacts=artifacts, use_cs=use_cs,
-                         mesh=eval_mesh(cfg, mesh))
+                         artifacts=artifacts, use_cs=use_cs, mesh=em)
         print(json.dumps({k: v for k, v in res.items()
                           if isinstance(v, (int, float, list))
                           and k != "recall_per_class"}, default=str))

@@ -58,8 +58,13 @@ class ImageCache:
     receives the FIRST edge's crop and GPT-4V judges the wrong region;
     here the key includes the crop box."""
 
-    def __init__(self, image_size: int = 1024, feature_size: int = 32):
-        self.cache = {}
+    def __init__(self, image_size: int = 1024, feature_size: int = 32,
+                 max_cache_size: int = 1000):
+        # bounded FIFO: crops only ever re-hit within the same image, so a
+        # small cap keeps the hits while preventing a full-dataset pass
+        # from pinning one ~100KB base64 JPEG per (image, crop) forever
+        self.cache = OrderedDict()
+        self.max_cache_size = max_cache_size
         self.image_size = image_size
         self.feature_size = feature_size
 
@@ -75,6 +80,8 @@ class ImageCache:
                 img = img.crop((x1, y1, x2, y2))
             buf = io.BytesIO()
             img.save(buf, format="JPEG")
+            while len(self.cache) >= self.max_cache_size:
+                self.cache.popitem(last=False)
             self.cache[key] = base64.b64encode(
                 buf.getvalue()).decode("utf-8")
         return self.cache[key]

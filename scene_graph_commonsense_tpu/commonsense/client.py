@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 from scene_graph_commonsense_tpu.commonsense.cache import (
     EdgeCache, ImageCache, probabilistic_cache_lookup)
@@ -133,38 +133,119 @@ def batch_query_edges(edges: Sequence[str], cache: EdgeCache,
     return [int(r) for r in responses], cache_hits
 
 
+IMAGE_MARKER = "\n<image-b64>"
+
+
+def openai_vision_transport(model: str = "gpt-4-vision-preview",
+                            key_path: str = "openai_key.txt"):
+    """Vision transport: prompts carry the base64 crop after IMAGE_MARKER
+    (see build_vision_prompt); the marker is split off and posted as a
+    proper image content part to the chat-completions API."""
+
+    def transport(prompts: List[str]) -> List[str]:
+        import requests
+        key = os.environ.get("OPENAI_API_KEY")
+        if key is None and os.path.exists(key_path):
+            with open(key_path) as f:
+                key = f.read().strip()
+        if key is None:
+            raise RuntimeError("no OpenAI API key configured")
+        out = []
+        for p in prompts:
+            text, _, b64 = p.partition(IMAGE_MARKER)
+            content = [{"type": "text", "text": text}]
+            if b64:
+                content.append({"type": "image_url", "image_url": {
+                    "url": f"data:image/jpeg;base64,{b64}"}})
+            resp = requests.post(
+                "https://api.openai.com/v1/chat/completions",
+                headers={"Authorization": f"Bearer {key}"},
+                json={"model": model, "temperature": 0, "max_tokens": 300,
+                      "messages": [{"role": "user", "content": content}]},
+                timeout=120)
+            out.append(resp.json()["choices"][0]["message"]["content"])
+        return out
+
+    return transport
+
+
+def build_vision_prompt(edge: str, b64: str) -> str:
+    """One CoT yes/no prompt (reference query_llm.py:228-233) carrying the
+    FULL base64 crop after IMAGE_MARKER; vision transports split it off
+    and attach it as an image part, mock transports just see the text."""
+    return (f"Does the image contain a relation '{edge}'? Let us think "
+            f"about it step by step and answer with Yes or No in the end."
+            f"{IMAGE_MARKER}{b64}")
+
+
 def query_edges_vision(edges: Sequence[str], image_path: str,
                        sub_boxes, obj_boxes, image_cache: ImageCache,
                        transport: Callable[[List[str]], List[str]]
-                       ) -> List[int]:
+                       ) -> Optional[List[int]]:
     """GPT-4V path: one CoT yes/no query per edge over the union-box crop
-    (reference query_llm.py:193-257).  transport receives one prompt per
-    call; the base64 crop is appended after a newline marker so mock
-    transports can ignore it."""
+    (reference query_llm.py:193-257).  Returns None when the image file is
+    missing — callers must NOT persist artifacts for it (a silently
+    all-negative vote would poison the triplet tables and, with resume,
+    stick forever)."""
+    if not os.path.exists(image_path):
+        return None
+    prompts = build_vision_prompts(edges, image_path, sub_boxes, obj_boxes,
+                                   image_cache)
+    return [parse_vision_vote(t) for t in transport(prompts)]
+
+
+def build_vision_prompts(edges, image_path, sub_boxes, obj_boxes,
+                         image_cache: ImageCache) -> List[str]:
+    """Crop + encode (ImageCache mutation stays in the calling thread) and
+    render one prompt per edge."""
     from scene_graph_commonsense_tpu.ops.boxes import union_box
     import numpy as np
-    votes = []
     # grid boxes -> resized-image coordinates.  Documented deviation: the
     # reference multiplies by feature_size (query_llm.py:212-213), which
     # is correct only when image_size == feature_size**2 (1024 == 32**2 at
     # its defaults); the general factor is image_size / feature_size.
     scale = image_cache.image_size / image_cache.feature_size
+    prompts = []
     for edge, sb, ob in zip(edges, sub_boxes, obj_boxes):
-        sb = np.asarray(sb) * scale
-        ob = np.asarray(ob) * scale
-        ub = np.asarray(union_box(sb, ob))
-        if os.path.exists(image_path):
-            b64 = image_cache.get_image(image_path, bbox=ub.tolist())
-        else:
-            votes.append(-1)
+        ub = np.asarray(union_box(np.asarray(sb) * scale,
+                                  np.asarray(ob) * scale))
+        b64 = image_cache.get_image(image_path, bbox=ub.tolist())
+        prompts.append(build_vision_prompt(edge, b64))
+    return prompts
+
+
+def parse_vision_vote(text: str) -> int:
+    return 1 if re.search(r"\bYes\b", text, re.IGNORECASE) else -1
+
+
+def query_edges_vision_concurrent(
+        per_image: Sequence[Tuple[Sequence[str], str, Any, Any]],
+        image_cache: ImageCache,
+        transport: Callable[[List[str]], List[str]],
+        max_workers: int = 8) -> List[Optional[List[int]]]:
+    """Vision validation for several images with the transport calls
+    fanned out across worker threads (same structure as
+    batch_query_edges_concurrent: ImageCache crops/encodes in the calling
+    thread, workers run only the pure transport).  per_image entries are
+    (edges, image_path, sub_boxes, obj_boxes); missing images yield
+    None."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    tasks = []          # (result index, prompts)
+    results: List[Optional[List[int]]] = []
+    for edges, image_path, sub_boxes, obj_boxes in per_image:
+        if not os.path.exists(image_path):
+            results.append(None)
             continue
-        prompt = (f"Does the image contain a relation '{edge}'? Let us "
-                  f"think about it step by step and answer with Yes or No "
-                  f"in the end.\n<image:{b64[:64]}...>")
-        text = transport([prompt])[0]
-        votes.append(1 if re.search(r"\bYes\b", text, re.IGNORECASE)
-                     else -1)
-    return votes
+        results.append([])   # placeholder, filled below
+        tasks.append((len(results) - 1, build_vision_prompts(
+            edges, image_path, sub_boxes, obj_boxes, image_cache)))
+    if tasks:
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
+            votes = list(pool.map(lambda t: transport(t[1]), tasks))
+        for (idx, _), texts in zip(tasks, votes):
+            results[idx] = [parse_vision_vote(t) for t in texts]
+    return results
 
 
 def batch_query_edges_concurrent(

@@ -216,9 +216,14 @@ def run_prepare_cs(cfg, model, params, batches, artifacts=None,
     import jax
 
     if transport is None:
-        from scene_graph_commonsense_tpu.commonsense.client import (
-            openai_completion_transport)
-        transport = openai_completion_transport()
+        if cfg.model.llm_model == "gpt4v":
+            from scene_graph_commonsense_tpu.commonsense.client import (
+                openai_vision_transport)
+            transport = openai_vision_transport()
+        else:
+            from scene_graph_commonsense_tpu.commonsense.client import (
+                openai_completion_transport)
+            transport = openai_completion_transport()
     out_dir_overridden = out_dir is not None
     out_dir = out_dir or os.path.join(cfg.data.annot_dir,
                                       f"cs_top{top_k}")
@@ -237,65 +242,79 @@ def run_prepare_cs(cfg, model, params, batches, artifacts=None,
             break
         annot_paths = batch.get("annot_path") or [
             f"batch{bi}_img{i}" for i in range(len(batch["cats"]))]
-        from scene_graph_commonsense_tpu.eval.engines import _model_batch
-        run_batch = _model_batch(batch)
-        out = jax.tree.map(np.asarray, estep(params, run_batch))
-        cand = build_candidates(
-            out["relation"], out["connectivity"], out["super_relation"],
-            out["pair_img"], out["pair_sub"], out["pair_obj"],
-            out["pair_mask"], out["iou_ok"], np.asarray(batch["cats"]),
-            np.asarray(batch["boxes"]), hierarchical=m.hierarchical_pred,
-            num_geometric=m.num_geometric, num_possessive=m.num_possessive)
-        tgt = build_targets(np.asarray(batch["rel"]),
-                            np.asarray(batch["cats"]),
-                            np.asarray(batch["boxes"]),
-                            np.asarray(batch["valid"]))
-        # collect every image's top-k edges first, then fan the network
-        # calls out concurrently (the reference's ThreadPoolExecutor
-        # parallelism across batch images, reference evaluator.py:450-456,
-        # without its shared-state race — see batch_query_edges_concurrent).
-        # Images whose per-image artifact already exists resume from it
-        # instead of re-querying (the restartability the two-phase design
-        # exists for).
+        names = [os.path.splitext(os.path.basename(str(p)))[0]
+                 for p in annot_paths]
+
+        # GT triplets accumulate for EVERY image of the pass (the
+        # reference's step 2 walks the whole dataset,
+        # dataloader.py:221-227), independent of query success
+        for image in range(len(names)):
+            store.add_gt_image(np.asarray(batch["rel"])[image],
+                               np.asarray(batch["cats"])[image])
+
+        # resume: images whose per-image artifact exists skip inference
+        # and querying entirely (the restartability the two-phase design
+        # exists for); a fully-done batch never touches the device
+        existing = {image: load_pseudo_annotations(out_dir, names[image])
+                    for image in range(len(names))}
+        done = [(image, ex[0], ex[1])
+                for image, ex in existing.items() if ex is not None]
+        todo = [image for image, ex in existing.items() if ex is None]
+
         per_image = []
-        done = []
-        for image in range(len(annot_paths)):
-            name = os.path.splitext(os.path.basename(
-                str(annot_paths[image])))[0]
-            existing = load_pseudo_annotations(out_dir, name)
-            if existing is not None:
-                done.append((image, None) + existing)
-                continue
-            predictions, graph = select_related_top_k(cand, tgt, image,
-                                                      top_k)
-            if graph:
-                per_image.append((image, name, predictions, graph))
+        if todo:
+            from scene_graph_commonsense_tpu.eval.engines import (
+                _model_batch)
+            run_batch = _model_batch(batch)
+            out = jax.tree.map(np.asarray, estep(params, run_batch))
+            cand = build_candidates(
+                out["relation"], out["connectivity"],
+                out["super_relation"], out["pair_img"], out["pair_sub"],
+                out["pair_obj"], out["pair_mask"], out["iou_ok"],
+                np.asarray(batch["cats"]), np.asarray(batch["boxes"]),
+                hierarchical=m.hierarchical_pred,
+                num_geometric=m.num_geometric,
+                num_possessive=m.num_possessive)
+            tgt = build_targets(np.asarray(batch["rel"]),
+                                np.asarray(batch["cats"]),
+                                np.asarray(batch["boxes"]),
+                                np.asarray(batch["valid"]))
+            for image in todo:
+                predictions, graph = select_related_top_k(cand, tgt,
+                                                          image, top_k)
+                if graph:
+                    per_image.append((image, names[image], predictions,
+                                      graph))
+
+        # network fan-out across the batch's images (the reference's
+        # ThreadPoolExecutor parallelism, reference evaluator.py:450-456,
+        # without its shared-state race — cache mutation stays here)
         if cfg.model.llm_model == "gpt4v":
-            # vision path (reference query_llm.py:193-257): one CoT query
-            # per edge over the union-box crop of the image; votes are
-            # uncached (each crop is edge-specific)
             from scene_graph_commonsense_tpu.commonsense.client import (
-                query_edges_vision)
-            results = []
-            for image, name, predictions, graph in per_image:
-                img_path = os.path.join(cfg.data.image_dir, name + ".jpg")
-                votes = query_edges_vision(
-                    predictions, img_path,
-                    [g["sub_box"] for g in graph],
-                    [g["obj_box"] for g in graph], image_cache, transport)
-                results.append((votes, 0))
+                query_edges_vision_concurrent)
+            results = query_edges_vision_concurrent(
+                [(p, os.path.join(cfg.data.image_dir, name + ".jpg"),
+                  [g["sub_box"] for g in graph],
+                  [g["obj_box"] for g in graph])
+                 for _, name, p, graph in per_image],
+                image_cache, transport)
         else:
-            results = batch_query_edges_concurrent(
-                [p for _, _, p, _ in per_image], cache, transport)
-        for (image, name, _, graph), (votes, _) in zip(per_image, results):
+            results = [v for v, _ in batch_query_edges_concurrent(
+                [p for _, _, p, _ in per_image], cache, transport)]
+        for (image, name, _, graph), votes in zip(per_image, results):
+            if votes is None:
+                # missing image file: do NOT persist an artifact — an
+                # all-negative vote would poison the tables and resume
+                # would make it permanent
+                print(f"WARNING: image for {name} not found under "
+                      f"{cfg.data.image_dir}; skipping its edges")
+                continue
             valid = [g for g, v in zip(graph, votes) if v == 1]
             invalid = [g for g, v in zip(graph, votes) if v != 1]
             save_pseudo_annotations(out_dir, name, valid, invalid)
-            done.append((image, name, valid, invalid))
-        for image, _, valid, invalid in done:
-            # phase 2 accumulation
-            store.add_gt_image(np.asarray(batch["rel"])[image],
-                               np.asarray(batch["cats"])[image])
+            done.append((image, valid, invalid))
+        for image, valid, invalid in done:
+            # phase 2 accumulation of the LLM-validated pseudo edges
             pseudo = {}
             for prefix, edges in [("valid", valid), ("invalid", invalid)]:
                 pseudo[f"{prefix}_rel"] = [e["rel"] for e in edges]

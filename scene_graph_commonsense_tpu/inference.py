@@ -34,11 +34,13 @@ class SceneGraphPredictor:
                  use_pallas_pool: Optional[bool] = None, mesh=None):
         """`mesh`: optional jax.sharding.Mesh with a 'data' axis; serving
         batches then shard over it (make_eval_step's sharded path).  The
-        batch size must divide by the axis size."""
+        batch size must divide by the axis size — predict() validates
+        this per call."""
         self.cfg = cfg
         self.model = make_relation_classifier(cfg)
         self.params = relation_params
         self.validator = validator
+        self.mesh = mesh
         self.estep = engine_lib.make_eval_step(
             self.model, cfg, use_pallas_pool=use_pallas_pool, mesh=mesh)
         self.featurize = None
@@ -61,6 +63,14 @@ class SceneGraphPredictor:
             n = batch["cats"].shape[1]
             batch["rel"] = np.full(
                 (batch["cats"].shape[0], n, n), -1, np.int32)
+        if self.mesh is not None:
+            shards = self.mesh.shape["data"]
+            b = batch["cats"].shape[0]
+            if b % shards != 0:
+                raise ValueError(
+                    f"batch size {b} does not divide the 'data' mesh axis "
+                    f"({shards}); pad the request batch or build the "
+                    f"predictor without a mesh")
         out = jax.tree.map(np.asarray, self.estep(self.params, batch))
         m = self.cfg.model
         cand = build_candidates(

@@ -217,14 +217,20 @@ def test_query_edges_vision(tmp_path, rng):
         image_cache=cache, transport=transport)
     assert votes == [1, -1]
     assert len(prompts_seen) == 2
-    assert "<image:" in prompts_seen[0]
-    # missing image -> automatic rejection
+    # the FULL base64 crop rides after the marker (a vision transport
+    # splits it off and posts it as an image content part)
+    from scene_graph_commonsense_tpu.commonsense.client import IMAGE_MARKER
+    import base64
+    text, _, b64 = prompts_seen[0].partition(IMAGE_MARKER)
+    assert "man riding horse" in text
+    assert base64.b64decode(b64)[:2] == b"\xff\xd8"   # JPEG magic
+    # missing image -> None (caller must not persist an artifact)
     votes2 = query_edges_vision(
         ["man riding horse"], str(tmp_path / "missing.jpg"),
         sub_boxes=[np.array([0, 10, 0, 10])],
         obj_boxes=[np.array([5, 20, 5, 20])],
         image_cache=cache, transport=transport)
-    assert votes2 == [-1]
+    assert votes2 is None
 
 
 def test_image_cache_crop(tmp_path, rng):
@@ -350,9 +356,15 @@ def test_prepare_cs_resumes_from_per_image_artifacts(tmp_path, rng):
     p2 = run_prepare_cs(cfg, model, params, batches, transport=transport,
                         out_dir=out_dir)
     assert len(calls) == n_calls          # zero new LLM queries
+
+    def rows(tbl, prefix):
+        cols = [tbl[f"{prefix}_{c}"] for c in ("sub", "rel", "obj",
+                                               "count")]
+        return sorted(zip(*map(list, cols)))
+
     t2 = {k: np.load(p2)[k] for k in np.load(p2).files}
-    for k in t1:
-        np.testing.assert_array_equal(np.sort(t1[k]), np.sort(t2[k]))
+    for prefix in ("cs_aligned", "cs_violated"):
+        assert rows(t1, prefix) == rows(t2, prefix)
 
 
 def test_prepare_cs_gpt4v_path(tmp_path, rng):
