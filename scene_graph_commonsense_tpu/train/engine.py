@@ -41,6 +41,14 @@ class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    # Memoized compute-dtype copy of params (None until the first step, or
+    # always None when compute_dtype is float32).  The forward would
+    # otherwise re-cast the f32 master params every step — the fc1 kernel
+    # cast alone reads 1 GB and writes 0.5 GB per step (~2.4 ms on v5e);
+    # emitting the bf16 copy from the (already param-writing) update pass
+    # costs only the 0.5 GB write.  Numerically identical: the same cast
+    # of the same master values, just cached.
+    compute_params: Any = None
 
 
 def make_optimizer(learning_rate, momentum: float = 0.9,
@@ -259,11 +267,25 @@ def make_train_step(model: RelationClassifier, cfg, optimizer,
         aug_capacity = local_capacity // 4
     aug_capacity = min(max(aug_capacity, 1), local_capacity)
 
+    compute_dtype = jnp.dtype(cfg.model.compute_dtype)
+    cache_compute = compute_dtype != jnp.float32
+
+    def cast_compute(params):
+        return jax.tree.map(lambda p: p.astype(compute_dtype)
+                            if p.dtype == jnp.float32 else p, params)
+
     def local_step(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
         if mesh is not None:
             # per-shard dropout streams, like per-rank seeds under DDP
             rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+        # memoized compute-dtype params (see TrainState.compute_params);
+        # differentiating wrt the bf16 copy yields the same bf16 wgrads
+        # XLA already produced, upcast below so the optimizer math and
+        # the clip norm stay exactly f32
+        cparams = state.compute_params
+        if cache_compute and cparams is None:
+            cparams = cast_compute(state.params)
 
         def loss_fn(params):
             r1, r2 = jax.random.split(rng)
@@ -301,8 +323,13 @@ def make_train_step(model: RelationClassifier, cfg, optimizer,
                                   packed, targets, weights, cs_tables,
                                   loss_contrast=loss_contrast)
 
-        (_, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        if cache_compute:
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(cparams)
+            grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+        else:
+            (_, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
         if mesh is not None:
             # optional bf16 all-reduce: halves ICI bytes; the mean is
             # accumulated by the collective, params/updates stay f32
@@ -317,7 +344,9 @@ def make_train_step(model: RelationClassifier, cfg, optimizer,
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
         params = optax.apply_updates(state.params, updates)
-        return TrainState(params, opt_state, state.step + 1), metrics
+        new_compute = cast_compute(params) if cache_compute else None
+        return TrainState(params, opt_state, state.step + 1,
+                          new_compute), metrics
 
     if mesh is None:
         return jax.jit(local_step, donate_argnums=(0,) if donate else ())

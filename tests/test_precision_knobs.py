@@ -71,3 +71,50 @@ def test_bf16_allreduce_close_to_f32(rng):
     assert np.isfinite(losses["bfloat16"])
     np.testing.assert_allclose(losses["bfloat16"], losses["float32"],
                                rtol=0.05)
+
+
+def test_compute_param_cache_is_bit_identical():
+    """The memoized compute-dtype param copy (TrainState.compute_params)
+    must be pure caching: losses and updated params bit-match a run that
+    re-casts the f32 master params every step."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from scene_graph_commonsense_tpu.config import derive
+    from scene_graph_commonsense_tpu.constants import class_weights
+    from scene_graph_commonsense_tpu.data.synthetic import synthetic_batch
+    from scene_graph_commonsense_tpu.models.relation_head import (
+        make_relation_classifier)
+    from scene_graph_commonsense_tpu.train import engine
+
+    cfg = derive(
+        "vg", hierarchical_pred=True,
+        model={"feature_size": 16, "hidden_dim": 8, "num_img_feature": 16,
+               "compute_dtype": "bfloat16", "dropout_rate": 0.0},
+        data={"max_objects": 5}, training={"batch_size": 2})
+    model = make_relation_classifier(cfg)
+    s = cfg.model.feature_size
+    x0 = jnp.zeros((2, s, s, cfg.model.num_img_feature + 1))
+    c0 = jnp.zeros(2, jnp.int32)
+    s0 = jnp.zeros((2, cfg.model.num_super_classes))
+    params = model.init(jax.random.PRNGKey(0), x0, x0, c0, c0, s0, s0)
+    opt = engine.make_optimizer(cfg.training.learning_rate)
+    step = engine.make_train_step(model, cfg, opt, class_weights("vg"),
+                                  donate=False)
+    rng = np.random.default_rng(0)
+    batch = {k: jnp.asarray(v) for k, v in synthetic_batch(
+        rng, batch_size=2, max_objects=5, feature_size=s,
+        num_channels=cfg.model.num_img_feature).items()}
+    key = jax.random.PRNGKey(0)
+
+    sa = engine.TrainState(params, opt.init(params), jnp.int32(0))
+    sb = engine.TrainState(params, opt.init(params), jnp.int32(0))
+    for i in range(3):
+        sa, ma = step(sa, batch, key)                 # cached
+        sb, mb = step(sb, batch, key)
+        sb = sb._replace(compute_params=None)         # re-cast every step
+        assert float(ma["loss"]) == float(mb["loss"])
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), sa.params, sb.params))
+    assert max(diffs) == 0.0
