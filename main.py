@@ -218,6 +218,7 @@ def main():
     elif run_mode in ("eval", "eval_cs"):
         from scene_graph_commonsense_tpu.eval import engines
         from scene_graph_commonsense_tpu.train import checkpoint as ckpt_lib
+        from scene_graph_commonsense_tpu.train.loop import eval_mesh
         use_cs = run_mode == "eval_cs"
         # load the trained relation classifier (reference
         # evaluate.py:65-76); eval_cs evaluates the CS-trained weights
@@ -251,7 +252,6 @@ def main():
                         widths=[s] * cfg.training.batch_size,
                         feature_size=cfg.model.feature_size)
 
-            from scene_graph_commonsense_tpu.train.loop import eval_mesh
             res = engines.run_eval_pc(cfg, model, params, batches,
                                       artifacts=artifacts, use_cs=use_cs,
                                       on_batch=on_batch,
@@ -260,7 +260,6 @@ def main():
             sys.exit("sgc/sgd need detector outputs; run on real data with "
                      "a converted DETR checkpoint")
         else:
-            from scene_graph_commonsense_tpu.train.loop import eval_mesh
             em = eval_mesh(cfg, mesh)
             detect_fn = engines.make_detr_detect_fn(
                 cfg, detr, detr_params, mesh=em)

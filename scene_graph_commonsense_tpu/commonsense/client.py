@@ -187,11 +187,9 @@ def query_edges_vision(edges: Sequence[str], image_path: str,
     missing — callers must NOT persist artifacts for it (a silently
     all-negative vote would poison the triplet tables and, with resume,
     stick forever)."""
-    if not os.path.exists(image_path):
-        return None
-    prompts = build_vision_prompts(edges, image_path, sub_boxes, obj_boxes,
-                                   image_cache)
-    return [parse_vision_vote(t) for t in transport(prompts)]
+    return query_edges_vision_concurrent(
+        [(edges, image_path, sub_boxes, obj_boxes)], image_cache,
+        transport, max_workers=1)[0]
 
 
 def build_vision_prompts(edges, image_path, sub_boxes, obj_boxes,

@@ -244,13 +244,16 @@ def run_prepare_cs(cfg, model, params, batches, artifacts=None,
             f"batch{bi}_img{i}" for i in range(len(batch["cats"]))]
         names = [os.path.splitext(os.path.basename(str(p)))[0]
                  for p in annot_paths]
+        rel_np = np.asarray(batch["rel"])
+        cats_np = np.asarray(batch["cats"])
+        boxes_np = np.asarray(batch["boxes"])
+        valid_np = np.asarray(batch["valid"])
 
         # GT triplets accumulate for EVERY image of the pass (the
         # reference's step 2 walks the whole dataset,
         # dataloader.py:221-227), independent of query success
         for image in range(len(names)):
-            store.add_gt_image(np.asarray(batch["rel"])[image],
-                               np.asarray(batch["cats"])[image])
+            store.add_gt_image(rel_np[image], cats_np[image])
 
         # resume: images whose per-image artifact exists skip inference
         # and querying entirely (the restartability the two-phase design
@@ -271,14 +274,11 @@ def run_prepare_cs(cfg, model, params, batches, artifacts=None,
                 out["relation"], out["connectivity"],
                 out["super_relation"], out["pair_img"], out["pair_sub"],
                 out["pair_obj"], out["pair_mask"], out["iou_ok"],
-                np.asarray(batch["cats"]), np.asarray(batch["boxes"]),
+                cats_np, boxes_np,
                 hierarchical=m.hierarchical_pred,
                 num_geometric=m.num_geometric,
                 num_possessive=m.num_possessive)
-            tgt = build_targets(np.asarray(batch["rel"]),
-                                np.asarray(batch["cats"]),
-                                np.asarray(batch["boxes"]),
-                                np.asarray(batch["valid"]))
+            tgt = build_targets(rel_np, cats_np, boxes_np, valid_np)
             for image in todo:
                 predictions, graph = select_related_top_k(cand, tgt,
                                                           image, top_k)
@@ -320,9 +320,8 @@ def run_prepare_cs(cfg, model, params, batches, artifacts=None,
                 pseudo[f"{prefix}_rel"] = [e["rel"] for e in edges]
                 pseudo[f"{prefix}_sub_box"] = [e["sub_box"] for e in edges]
                 pseudo[f"{prefix}_obj_box"] = [e["obj_box"] for e in edges]
-            store.add_pseudo_image(pseudo, np.asarray(batch["boxes"])[image],
-                                   np.asarray(batch["cats"])[image],
-                                   np.asarray(batch["valid"])[image],
+            store.add_pseudo_image(pseudo, boxes_np[image],
+                                   cats_np[image], valid_np[image],
                                    cfg.training.eval_mode)
     # when the caller redirects the per-image files, the final table goes
     # with them — a test/smoke run must not clobber the converted artifact

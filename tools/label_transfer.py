@@ -39,6 +39,8 @@ def collect_scores(cfg, batches, estep, params):
     """
     import jax
 
+    from scene_graph_commonsense_tpu.ops import pairs as pair_ops
+
     n = cfg.data.max_objects
     out_recs = {}
     next_key = 0
@@ -57,7 +59,6 @@ def collect_scores(cfg, batches, estep, params):
                out["pair_obj"][m]] = out["relation"][m]
         conn[out["pair_img"][m], out["pair_sub"][m], out["pair_obj"][m]] = \
             1.0 / (1.0 + np.exp(-out["connectivity"][m]))
-        from scene_graph_commonsense_tpu.ops import pairs as pair_ops
         vp = np.asarray(pair_ops.pair_validity(batch["valid"]))
         rel = np.asarray(batch["rel"])
         for bi in range(b):
