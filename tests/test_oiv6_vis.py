@@ -126,3 +126,30 @@ def test_kmeans_cluster_and_map():
         members = np.nonzero(assign == c)[0]
         mapped = index_map[members]
         assert (np.diff(mapped) == 1).all()
+
+
+def test_oiv6_features_dir_cache(tmp_path):
+    """OIv6 honors the precomputed feature cache with the same wholesale
+    partial-cache rejection as VGDataset."""
+    path = make_oiv6_fixture(tmp_path)
+    s, c = 8, 4
+    feat_dir = tmp_path / "features"
+    feat_dir.mkdir()
+    for i in range(3):
+        np.savez_compressed(feat_dir / f"img{i}_features.npz",
+                            features=np.full((s, s, c), float(i),
+                                             np.float16))
+    cfg = derive("oiv6", data={"max_objects": 6,
+                               "features_dir": str(feat_dir)},
+                 model={"feature_size": s, "num_img_feature": c})
+    ds = OIV6Dataset(cfg, path, training=False)
+    assert ds.use_feature_cache
+    ex = ds.get_example(1)
+    assert ex["features"].shape == (s, s, c)
+    assert float(ex["features"][0, 0, 0]) == 1.0
+
+    # remove one map -> wholesale rejection
+    (feat_dir / "img2_features.npz").unlink()
+    ds2 = OIV6Dataset(cfg, path, training=False)
+    assert not ds2.use_feature_cache
+    assert "features" not in ds2.get_example(1)
