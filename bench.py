@@ -35,7 +35,7 @@ PAIR_CAPACITY = 1024   # ~realistic VG pair load for batch 12 (avg ~70/img)
 CHUNK = 0              # unchunked trunk measured faster on v5e (231 vs
                        # 307 ms/step); chunking remains available as an HBM
                        # guard for larger capacities
-STEPS = 10
+STEPS = 20
 WARMUP = 3
 
 

@@ -198,10 +198,11 @@ def main():
             else:
                 print(f"WARNING: predictor checkpoint {ckpt} not found — "
                       f"evaluating randomly initialized weights")
+            from scene_graph_commonsense_tpu.train.loop import eval_mesh
             res = pnp_engine.run_eval_pc_predictor(
                 cfg, predictor, p, test_fn(0), artifacts=artifacts,
                 featurize=featurize, use_cs=run_mode == "eval_cs",
-                tde=args.tde)
+                tde=args.tde, mesh=eval_mesh(cfg, mesh))
             print(json.dumps({k: v for k, v in res.items()
                               if isinstance(v, (int, float, list))
                               and k != "recall_per_class"}, default=str))

@@ -174,14 +174,19 @@ def make_pnp_train_step(predictor: HierarchicalPredictor, cfg, optimizer):
 
 
 def make_pnp_eval_step(predictor: HierarchicalPredictor, cfg,
-                       tde: bool = False):
+                       tde: bool = False, mesh=None):
     """With tde=True the step scores each pair by Total Direct Effect
     (Tang et al. 2020, "Unbiased Scene Graph Generation from Biased
     Training" — the +TDE rows of reference README_PLUGANDPLAY.md:181-188):
     relation/super scores become factual − counterfactual, where the
     counterfactual forward sees mean visual features (labels and boxes
     intact).  The outputs are ranking scores, not log-probs — exactly how
-    TDE is consumed downstream in SGB."""
+    TDE is consumed downstream in SGB.
+
+    With a mesh, batches/outputs are 'data'-sharded via GSPMD (batch must
+    divide the axis).  TDE's batch-mean counterfactual stays a GLOBAL
+    mean — the partitioner inserts the cross-shard reduction — so sharded
+    results equal single-device results exactly."""
     def step(params, batch):
         out = _forward(predictor, params, batch, deterministic=True)
         if tde:
@@ -200,7 +205,12 @@ def make_pnp_eval_step(predictor: HierarchicalPredictor, cfg,
                  "pair_img", "pair_sub", "pair_obj", "pair_mask",
                  "iou_ok")}
 
-    return jax.jit(step)
+    if mesh is None:
+        return jax.jit(step)
+    from jax.sharding import NamedSharding, PartitionSpec
+    data_sh = NamedSharding(mesh, PartitionSpec("data"))
+    return jax.jit(step, in_shardings=(NamedSharding(
+        mesh, PartitionSpec()), data_sh), out_shardings=data_sh)
 
 
 def init_predictor_params(cfg, predictor: HierarchicalPredictor,
@@ -305,7 +315,7 @@ def _strip(batch):
 def run_eval_pc_predictor(cfg, predictor, params,
                           batches: Iterable[Dict], artifacts=None,
                           featurize=None, max_batches=None, use_cs=False,
-                          estep=None, tde=False):
+                          estep=None, tde=False, mesh=None):
     """PredCLS evaluation of a predictor family with the standard
     vectorized Recall@k evaluator.  use_cs applies the commonsense
     triplet filtering (eval_cs) through the same dense tables as the
@@ -318,7 +328,7 @@ def run_eval_pc_predictor(cfg, predictor, params,
 
     evaluator, _ = _make_evaluators(cfg, artifacts, predcls=True)
     if estep is None:
-        estep = make_pnp_eval_step(predictor, cfg, tde=tde)
+        estep = make_pnp_eval_step(predictor, cfg, tde=tde, mesh=mesh)
     cs_a = cs_v = None
     if use_cs:
         if artifacts is None or artifacts.cs_aligned is None:

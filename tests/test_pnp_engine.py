@@ -154,3 +154,26 @@ def test_tde_keeps_masks_and_connectivity():
                                   np.asarray(plain["connectivity"]))
     assert float(jnp.max(jnp.abs(tde["relation"]
                                  - plain["relation"]))) > 1e-4
+
+
+def test_pnp_sharded_eval_matches_single_device():
+    """GSPMD-sharded predictor eval (incl. the TDE global-mean
+    counterfactual) must reproduce single-device outputs exactly."""
+    from scene_graph_commonsense_tpu.parallel.mesh import make_mesh
+
+    cfg = derive("vg", hierarchical_pred=True,
+                 data={"max_objects": 6},
+                 training={"batch_size": 8, "pair_capacity": 0})
+    predictor = pnp_engine.make_predictor(cfg, "motifs")
+    params = pnp_engine.init_predictor_params(cfg, predictor)
+    batch = _batch(cfg)
+    mesh = make_mesh(data=8, model=1)
+    for tde in (False, True):
+        e1 = pnp_engine.make_pnp_eval_step(predictor, cfg, tde=tde)
+        e8 = pnp_engine.make_pnp_eval_step(predictor, cfg, tde=tde,
+                                           mesh=mesh)
+        o1 = jax.tree.map(np.asarray, e1(params, batch))
+        o8 = jax.tree.map(np.asarray, e8(params, batch))
+        for k in o1:
+            np.testing.assert_allclose(o1[k], o8[k], atol=1e-5,
+                                       err_msg=f"tde={tde} key={k}")
