@@ -282,7 +282,9 @@ def make_train_step(model: RelationClassifier, cfg, optimizer,
         # memoized compute-dtype params (see TrainState.compute_params);
         # differentiating wrt the bf16 copy yields the same bf16 wgrads
         # XLA already produced, upcast below so the optimizer math and
-        # the clip norm stay exactly f32
+        # the clip norm stay exactly f32.  The stepper wrapper pre-casts
+        # a None field outside jit, so this fallback only fires for
+        # direct local_step callers
         cparams = state.compute_params
         if cache_compute and cparams is None:
             cparams = cast_compute(state.params)
@@ -348,14 +350,30 @@ def make_train_step(model: RelationClassifier, cfg, optimizer,
         return TrainState(params, opt_state, state.step + 1,
                           new_compute), metrics
 
+    def ensure_compute(state: TrainState) -> TrainState:
+        """Pre-casts a None compute_params field OUTSIDE jit: the pytree
+        structure of the traced state then never changes (None -> tree
+        after step 1 would force a second full compile of the largest
+        program in the system)."""
+        if cache_compute and state.compute_params is None:
+            state = state._replace(
+                compute_params=cast_compute(state.params))
+        return state
+
     if mesh is None:
-        return jax.jit(local_step, donate_argnums=(0,) if donate else ())
+        jitted = jax.jit(local_step, donate_argnums=(0,) if donate else ())
+
+        def stepper1(state, batch, rng):
+            return jitted(ensure_compute(state), batch, rng)
+
+        return stepper1
 
     # in_specs must structurally match the batch dict, whose key set varies
     # (e.g. no features_aug in eval-style batches); build per key set
     cache = {}
 
     def stepper(state, batch, rng):
+        state = ensure_compute(state)
         keys = frozenset(batch)
         if keys not in cache:
             sharded = jax.shard_map(

@@ -329,6 +329,13 @@ def run_eval_pc_predictor(cfg, predictor, params,
     evaluator, _ = _make_evaluators(cfg, artifacts, predcls=True)
     if estep is None:
         estep = make_pnp_eval_step(predictor, cfg, tde=tde, mesh=mesh)
+    if mesh is not None:
+        # commit params to the replicated layout ONCE; otherwise every
+        # batch's jit call re-broadcasts the whole weight tree to match
+        # its in_shardings
+        from jax.sharding import NamedSharding, PartitionSpec
+        params = jax.device_put(params,
+                                NamedSharding(mesh, PartitionSpec()))
     cs_a = cs_v = None
     if use_cs:
         if artifacts is None or artifacts.cs_aligned is None:
