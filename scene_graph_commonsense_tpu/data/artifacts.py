@@ -28,6 +28,31 @@ def triplet_table_from_ids(sub, rel, obj, num_obj=NUM_OBJ,
     return table
 
 
+def super_multi_hot(super_lists, num_super: int = NUM_SUPER,
+                    faithful: bool = True) -> np.ndarray:
+    """Per-object super-category multi-hot from lists of super ids.
+
+    `faithful=True` replicates the reference's `process_super_class`
+    (reference utils.py:123-133) EXACTLY, including its quirk: the loop
+    `for i in range(1, 4): idx = [len(s) == i + 1]` only ever adds element
+    s[i] when it is the LAST element, so an object with k > 2
+    super-categories contributes a two-hot of {s[0], s[-1]} — the middle
+    entries are dropped.  13 of VG's 150 object classes have 3
+    super-categories and are affected; reference checkpoints were trained
+    with this encoding, so parity requires it.  `faithful=False` encodes
+    the full multi-hot instead.
+    """
+    mh = np.zeros((len(super_lists), num_super), dtype=np.float32)
+    for i, ls in enumerate(super_lists):
+        ls = list(ls) if isinstance(ls, (list, tuple, np.ndarray)) else [ls]
+        if not ls:
+            continue
+        if faithful and len(ls) > 1:
+            ls = [ls[0], ls[-1]]
+        mh[i, np.asarray(ls, np.int64)] = 1.0
+    return mh
+
+
 def parse_triplet_strings(keys) -> Dict[str, np.ndarray]:
     """'sub_rel_obj' string keys -> id arrays (the reference keys its
     train/test/zero-shot dicts this way, reference dataset_utils.py:251)."""

@@ -27,6 +27,7 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 
 from scene_graph_commonsense_tpu.constants import rel_index_map
+from scene_graph_commonsense_tpu.data.artifacts import super_multi_hot
 from scene_graph_commonsense_tpu.ops.pairs import directed_rel_from_lower
 
 
@@ -185,10 +186,12 @@ class VGDataset:
             rels.append(reordered)
         rel = directed_rel_from_lower(rels, rec["subj_or_obj"], n, n_max)
 
+        # reference-faithful encoding ({first, last} supercat only, see
+        # data.artifacts.super_multi_hot / reference utils.py:123-133)
         super_mh = np.zeros((n_max, 17), np.float32)
         if "super_categories" in rec:
-            for i, sc in enumerate(rec["super_categories"]):
-                super_mh[i, np.asarray(sc, np.int64)] = 1.0
+            scs = list(rec["super_categories"])
+            super_mh[:len(scs)] = super_multi_hot(scs)
 
         ex = {
             "cats": np.pad(cats.astype(np.int32), (0, n_max - n)),

@@ -58,11 +58,15 @@ def main():
 
     s2s = load("datasets/vg_scene_graph_annot/sub2super_cat_dict.pt")
     if s2s is not None:
-        mh = np.zeros((NUM_OBJ, NUM_SUPER), dtype=bool)
+        # reference-faithful {first, last} encoding (see
+        # data.artifacts.super_multi_hot / reference utils.py:123-133)
+        from scene_graph_commonsense_tpu.data.artifacts import (
+            super_multi_hot)
+        lists = [[] for _ in range(NUM_OBJ)]
         for cls, supers in s2s.items():
             sup = supers if isinstance(supers, (list, tuple)) else [supers]
-            for s in sup:
-                mh[int(cls), int(s)] = True
+            lists[int(cls)] = [int(s) for s in sup]
+        mh = super_multi_hot(lists).astype(bool)
         out["sub2super"] = mh
         print(f"sub2super: {mh.sum()} entries")
 
