@@ -112,8 +112,10 @@ def _space_to_depth_conv1(x, kernel, dtype):
 
 
 class ResNet101(nn.Module):
-    """torchvision-style ResNet-101 trunk up to C5 (stride 32, 2048 ch)."""
+    """torchvision-style ResNet-101 trunk up to C5 (stride 32, 2048 ch).
+    `blocks` shrinks the per-stage depth for tests."""
     dtype: Any = jnp.float32
+    blocks: Tuple[int, int, int, int] = (3, 4, 23, 3)
 
     @nn.compact
     def __call__(self, x):
@@ -132,9 +134,9 @@ class ResNet101(nn.Module):
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
                     constant_values=-jnp.inf)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
-        for stage, (planes, blocks, stride) in enumerate(
-                [(64, 3, 1), (128, 4, 2), (256, 23, 2), (512, 3, 2)]):
-            for i in range(blocks):
+        for stage, (planes, nblocks, stride) in enumerate(
+                zip((64, 128, 256, 512), self.blocks, (1, 2, 2, 2))):
+            for i in range(nblocks):
                 x = Bottleneck(planes, stride=stride if i == 0 else 1,
                                downsample=(i == 0), dtype=self.dtype,
                                name=f"layer{stage + 1}_{i}")(x)
@@ -149,14 +151,17 @@ def sine_position_embedding(mask: jnp.ndarray, num_pos_feats: int = 128,
     mask: (B, H, W) bool — True where the canvas holds real pixels.
     Returns (B, H, W, 2 * num_pos_feats).
     """
-    not_mask = mask.astype(jnp.float32)
+    # compute in >= f32 (f64 under x64 parity runs: the embedding feeds six
+    # post-norm encoder layers, so f32 rounding here amplifies to ~1e-5)
+    compute_dt = jnp.promote_types(jnp.dtype(dtype), jnp.float32)
+    not_mask = mask.astype(compute_dt)
     y_embed = jnp.cumsum(not_mask, axis=1)
     x_embed = jnp.cumsum(not_mask, axis=2)
     eps = 1e-6
     scale = 2 * math.pi
     y_embed = y_embed / (y_embed[:, -1:, :] + eps) * scale
     x_embed = x_embed / (x_embed[:, :, -1:] + eps) * scale
-    dim_t = jnp.arange(num_pos_feats, dtype=jnp.float32)
+    dim_t = jnp.arange(num_pos_feats, dtype=compute_dt)
     dim_t = temperature ** (2 * (dim_t // 2) / num_pos_feats)
     pos_x = x_embed[..., None] / dim_t
     pos_y = y_embed[..., None] / dim_t
@@ -190,7 +195,10 @@ class MHA(nn.Module):
             bias = jnp.where(key_padding_mask[:, None, None, :], 0.0,
                              jnp.finfo(jnp.float32).min)
             logits = logits + bias
-        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        # softmax in >= f32 (upcast for bf16 compute, no downcast under x64)
+        attn = jax.nn.softmax(
+            logits.astype(jnp.promote_types(logits.dtype, jnp.float32)),
+            axis=-1)
         attn = attn.astype(vh.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh)
         out = out.reshape(q.shape[:-1] + (self.d_model,))
@@ -208,11 +216,11 @@ class EncoderLayer(nn.Module):
         q = k = src + pos
         src2 = MHA(self.d_model, self.nhead, self.dtype,
                    name="self_attn")(q, k, src, key_padding_mask)
-        src = nn.LayerNorm(name="norm1")(src + src2)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + src2)
         src2 = nn.Dense(self.dim_ff, dtype=self.dtype, name="linear1")(src)
         src2 = nn.Dense(self.d_model, dtype=self.dtype,
                         name="linear2")(nn.relu(src2))
-        return nn.LayerNorm(name="norm2")(src + src2)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(src + src2)
 
 
 class DecoderLayer(nn.Module):
@@ -226,15 +234,15 @@ class DecoderLayer(nn.Module):
         q = k = tgt + query_pos
         tgt2 = MHA(self.d_model, self.nhead, self.dtype,
                    name="self_attn")(q, k, tgt)
-        tgt = nn.LayerNorm(name="norm1")(tgt + tgt2)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt + tgt2)
         tgt2 = MHA(self.d_model, self.nhead, self.dtype,
                    name="cross_attn")(tgt + query_pos, memory + pos, memory,
                                       key_padding_mask)
-        tgt = nn.LayerNorm(name="norm2")(tgt + tgt2)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt + tgt2)
         tgt2 = nn.Dense(self.dim_ff, dtype=self.dtype, name="linear1")(tgt)
         tgt2 = nn.Dense(self.d_model, dtype=self.dtype,
                         name="linear2")(nn.relu(tgt2))
-        return nn.LayerNorm(name="norm3")(tgt + tgt2)
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt + tgt2)
 
 
 class DETR(nn.Module):
@@ -245,11 +253,13 @@ class DETR(nn.Module):
     nhead: int = 8
     num_encoder_layers: int = 6
     num_decoder_layers: int = 6
+    backbone_blocks: Tuple[int, int, int, int] = (3, 4, 23, 3)
     dim_ff: int = 2048
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.backbone = ResNet101(dtype=self.dtype)
+        self.backbone = ResNet101(dtype=self.dtype,
+                                  blocks=self.backbone_blocks)
         self.input_proj = nn.Conv(self.d_model, (1, 1), use_bias=True,
                                   dtype=self.dtype, name="input_proj")
         self.encoder_layers = [
@@ -260,7 +270,7 @@ class DETR(nn.Module):
             DecoderLayer(self.d_model, self.nhead, self.dim_ff, self.dtype,
                          name=f"decoder_{i}")
             for i in range(self.num_decoder_layers)]
-        self.decoder_norm = nn.LayerNorm(name="decoder_norm")
+        self.decoder_norm = nn.LayerNorm(epsilon=1e-5, name="decoder_norm")
         self.query_embed = nn.Embed(self.num_queries, self.d_model,
                                     name="query_embed")
         self.class_embed = nn.Dense(self.num_classes, dtype=self.dtype,
@@ -318,8 +328,9 @@ class DETR(nn.Module):
         x = hs
         for lyr in self.bbox_layers:
             x = nn.relu(lyr(x))
-        boxes = jax.nn.sigmoid(self.bbox_out(x).astype(jnp.float32))
-        return {"pred_logits": logits.astype(jnp.float32),
+        up = jnp.promote_types(self.dtype, jnp.float32)
+        boxes = jax.nn.sigmoid(self.bbox_out(x).astype(up))
+        return {"pred_logits": logits.astype(up),
                 "pred_boxes": boxes}
 
 

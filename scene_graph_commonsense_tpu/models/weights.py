@@ -64,7 +64,8 @@ def _norm(state, prefix):
 
 def convert_detr_state_dict(state: Mapping[str, np.ndarray],
                             num_encoder_layers: int = 6,
-                            num_decoder_layers: int = 6) -> Dict:
+                            num_decoder_layers: int = 6,
+                            blocks=(3, 4, 23, 3)) -> Dict:
     """DETR-named torch tensors -> Flax params for models.detr.DETR."""
     state = {k: np.asarray(v) for k, v in state.items()}
     p: Dict = {}
@@ -72,7 +73,6 @@ def convert_detr_state_dict(state: Mapping[str, np.ndarray],
     # ---- ResNet-101 backbone ----
     bb = {"conv1": {"kernel": _conv(state["backbone.0.body.conv1.weight"])},
           "bn1": _bn(state, "backbone.0.body.bn1")}
-    blocks = [3, 4, 23, 3]
     for stage, nblocks in enumerate(blocks, start=1):
         for i in range(nblocks):
             pre = f"backbone.0.body.layer{stage}.{i}"
