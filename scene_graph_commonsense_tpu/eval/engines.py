@@ -23,6 +23,7 @@ conditions each GT box on the single best-IoU predicted slot's class.
 
 from __future__ import annotations
 
+import warnings
 from typing import Callable, Dict, Iterable, Optional
 
 import jax
@@ -49,6 +50,24 @@ def _model_batch(batch):
     """Keeps only the jit-consumable arrays (drops annot paths, raw images,
     pixel masks)."""
     return {k: batch[k] for k in _MODEL_KEYS if batch.get(k) is not None}
+
+
+def check_pair_overflow(out, warned: list, log_fn=None) -> bool:
+    """Warns ONCE per run when the packed pair buffer truncated (silent
+    pair-dropping changes recall; see pack_pairs / make_eval_step docs).
+    `warned` is a single-element mutable flag owned by the calling run."""
+    count = np.asarray(out.get("pair_count", 0))
+    cap = np.asarray(out.get("pair_capacity", np.iinfo(np.int32).max))
+    over = bool((count > cap).any())
+    if over and not warned[0]:
+        warned[0] = True
+        msg = (f"pair buffer overflow: {int(count.max())} live pairs > "
+               f"capacity {int(cap.min())} per shard — excess pairs are "
+               f"DROPPED and recall may shift; raise "
+               f"training.pair_capacity")
+        (log_fn or (lambda m: warnings.warn(m, RuntimeWarning,
+                                            stacklevel=2)))(msg)
+    return over
 
 
 def _accumulate_batch(evaluator, ev3, cfg, out, batch, artifacts,
@@ -123,10 +142,12 @@ def run_eval_pc(cfg, model, params, batches: Iterable[Dict],
     ev, ev3 = _make_evaluators(cfg, artifacts, predcls=True)
     if estep is None:
         estep = engine_lib.make_eval_step(model, cfg, mesh=mesh)
+    warned = [False]
     for i, batch in enumerate(batches):
         if max_batches is not None and i >= max_batches:
             break
         out = _np(estep(params, _model_batch(batch)))
+        check_pair_overflow(out, warned)
         cand, tgt = _accumulate_batch(
             ev, ev3, cfg, out, batch, artifacts, use_cs, predcls=True,
             cats=np.asarray(batch["cats"]), boxes=np.asarray(batch["boxes"]))
@@ -161,6 +182,53 @@ def match_predicted_labels(det: Dict[str, np.ndarray],
     return cats, conf
 
 
+def match_predicted_labels_top2(det: Dict[str, np.ndarray],
+                                gt_boxes: np.ndarray, gt_valid: np.ndarray,
+                                feature_size: int = 32):
+    """Reference-faithful SGCLS matching incl. the top-2 tie duplication
+    (reference utils.py:376-422): each GT box takes the best-IoU predicted
+    slot's class with confidence pred_conf * best_iou; when the two best
+    IoUs tie EXACTLY (the same detection box repeated for its two class
+    candidates, reference evaluate.py:313-315), the GT box is duplicated
+    with both candidates.  Returns slot-expanded (cats, conf, boxes, valid)
+    of width 2N (slots 2k / 2k+1 belong to GT box k; the reference inserts
+    the duplicate adjacently, which is order-equivalent for the
+    confidence-ranked evaluator).  An image with fewer than two predicted
+    slots is dropped entirely (reference utils.py:393-394 returns None and
+    eval_sgc skips the batch)."""
+    b, n = gt_valid.shape
+    cats = np.zeros((b, 2 * n), np.int32)
+    conf = np.zeros((b, 2 * n), np.float32)
+    boxes = np.zeros((b, 2 * n, 4), np.float32)
+    valid = np.zeros((b, 2 * n), bool)
+    pb, pc, pv = (np.asarray(det["boxes"]), np.asarray(det["cats"]),
+                  np.asarray(det["valid"]))
+    pconf = np.asarray(det["cat_conf"])
+    for bi in range(b):
+        if pv[bi].sum() < 2:
+            continue
+        ious = np_mask_iou(gt_boxes[bi][:, None], pb[bi][None],
+                           feature_size)
+        ious = np.where(pv[bi][None, :], ious, -1.0)
+        order = np.argsort(-ious, axis=1, kind="stable")
+        top1, top2 = order[:, 0], order[:, 1]
+        iou1 = ious[np.arange(n), top1]
+        iou2 = ious[np.arange(n), top2]
+        for k in range(n):
+            if not gt_valid[bi, k]:
+                continue
+            boxes[bi, 2 * k] = gt_boxes[bi, k]
+            valid[bi, 2 * k] = True
+            cats[bi, 2 * k] = pc[bi][top1[k]]
+            conf[bi, 2 * k] = pconf[bi][top1[k]] * max(iou1[k], 0)
+            if iou1[k] == iou2[k]:
+                boxes[bi, 2 * k + 1] = gt_boxes[bi, k]
+                valid[bi, 2 * k + 1] = True
+                cats[bi, 2 * k + 1] = pc[bi][top2[k]]
+                conf[bi, 2 * k + 1] = pconf[bi][top2[k]] * max(iou2[k], 0)
+    return cats, conf, boxes, valid
+
+
 def run_eval_sgc(cfg, model, params, batches: Iterable[Dict],
                  detect_fn: Callable[[Dict], Dict],
                  artifacts=None, use_cs: bool = False,
@@ -169,27 +237,49 @@ def run_eval_sgc(cfg, model, params, batches: Iterable[Dict],
     detection dict of ops.detection.postprocess_detections."""
     ev, ev3 = _make_evaluators(cfg, artifacts, predcls=False)
     ev3 = None   # Top-3 is a PredCLS-only report in the reference
-    estep = engine_lib.make_eval_step(model, cfg, mesh=mesh)
+    cap = 0
+    if cfg.training.sgcls_top2_duplicates:
+        # slot-expanded 2N grid needs its own worst-case capacity
+        n2 = 2 * cfg.data.max_objects
+        cap = cfg.training.batch_size * n2 * (n2 - 1)
+    estep = engine_lib.make_eval_step(model, cfg, capacity=cap, mesh=mesh)
     sub2super = artifacts.sub2super if artifacts is not None else None
+    warned = [False]
     for i, batch in enumerate(batches):
         if max_batches is not None and i >= max_batches:
             break
         det = _np(detect_fn(batch))
-        cats, conf = match_predicted_labels(
-            det, np.asarray(batch["boxes"]), np.asarray(batch["valid"]),
-            cfg.model.feature_size)
-        run_batch = _model_batch(batch)
-        run_batch["cats"] = cats
+        gt_boxes = np.asarray(batch["boxes"])
+        gt_valid = np.asarray(batch["valid"])
+        if cfg.training.sgcls_top2_duplicates:
+            # faithful slot-expanded grid (2N slots, GT boxes duplicated
+            # on exact top-2 IoU ties)
+            cats, conf, boxes, valid = match_predicted_labels_top2(
+                det, gt_boxes, gt_valid, cfg.model.feature_size)
+            run_batch = _model_batch(batch)
+            run_batch["cats"] = cats
+            run_batch["boxes"] = boxes
+            run_batch["valid"] = valid
+            n2 = cats.shape[1]
+            run_batch["rel"] = np.full(
+                (cats.shape[0], n2, n2), -1, np.int32)
+        else:
+            cats, conf = match_predicted_labels(
+                det, gt_boxes, gt_valid, cfg.model.feature_size)
+            boxes = gt_boxes
+            run_batch = _model_batch(batch)
+            run_batch["cats"] = cats
         if sub2super is not None:
             run_batch["super_mh"] = sub2super[cats].astype(np.float32)
         out = _np(estep(params, run_batch))
+        check_pair_overflow(out, warned)
         # targets keep GT cats; candidates use matched predicted cats.
         # The reference adds the RAW class confidences (softmax prob x IoU)
         # to the log-space relation confidence (reference
         # evaluator.py:164-166, utils.py:410-418) — replicated as-is.
         _accumulate_batch(ev, None, cfg, out, batch,
                           artifacts, use_cs, predcls=False,
-                          cats=cats, boxes=np.asarray(batch["boxes"]),
+                          cats=cats, boxes=boxes,
                           cat_conf=conf)
     return _results(cfg, ev, ev3)
 
@@ -204,6 +294,7 @@ def run_eval_sgd(cfg, model, params, batches: Iterable[Dict],
     ev3 = None   # Top-3 is a PredCLS-only report in the reference
     estep = engine_lib.make_eval_step(model, cfg, mesh=mesh)
     sub2super = artifacts.sub2super if artifacts is not None else None
+    warned = [False]
     for i, batch in enumerate(batches):
         if max_batches is not None and i >= max_batches:
             break
@@ -215,6 +306,7 @@ def run_eval_sgd(cfg, model, params, batches: Iterable[Dict],
         if sub2super is not None:
             run_batch["super_mh"] = sub2super[det["cats"]].astype(np.float32)
         out = _np(estep(params, run_batch))
+        check_pair_overflow(out, warned)
         m = cfg.model
         cs_a = cs_v = None
         if use_cs and artifacts is not None:

@@ -76,6 +76,19 @@ def _gather_streams(stream: jnp.ndarray, flat_idx: jnp.ndarray):
     return stream[flat_idx]
 
 
+def _scatter_grid(vals: jnp.ndarray, packed: pair_ops.PackedPairs,
+                  b: int, n: int) -> jnp.ndarray:
+    """Scatters per-packed-pair values back onto the (B, N, N, ...) grid
+    (faithful-dynamics losses are per grid cell).  Padding slots contribute
+    zeros at flat position 0 — grid cell (0, 0, 0) is a self-pair and never
+    live, so nothing real is clobbered.  Differentiable (scatter-add)."""
+    flat = jnp.zeros((b * n * n,) + vals.shape[1:], vals.dtype)
+    idx = jnp.where(packed.mask, packed.flat_id, 0)
+    mb = packed.mask.reshape(packed.mask.shape + (1,) * (vals.ndim - 1))
+    flat = flat.at[idx].add(jnp.where(mb, vals, 0))
+    return flat.reshape((b, n, n) + vals.shape[1:])
+
+
 def _chunked_pair_trunk(model: RelationClassifier, params, a, b, packed,
                         chunk_size: int, deterministic: bool,
                         dropout_rng=None):
@@ -256,6 +269,12 @@ def make_train_step(model: RelationClassifier, cfg, optimizer,
     weights = jnp.asarray(class_weights)
     shards = 1 if mesh is None else mesh.shape["data"]
     local_capacity = max(capacity // shards, 1)
+    faithful = cfg.training.faithful_dynamics
+    if faithful:
+        # per-column parity math needs every valid pair present on the grid
+        n_obj = cfg.data.max_objects
+        local_capacity = max(cfg.training.batch_size // shards, 1) \
+            * n_obj * (n_obj - 1)
     # connected pairs (= GT relations) are an order of magnitude sparser
     # than valid pairs; see TrainConfig.aug_pair_capacity.  Shrinking this
     # buffer shrinks the aug view's share of the conv3/fc1 FLOPs 1:1.
@@ -303,10 +322,12 @@ def make_train_step(model: RelationClassifier, cfg, optimizer,
             # augmented view runs over a connected-pairs-only packing at
             # reduced capacity — roughly half the aug-view pair-trunk FLOPs.
             loss_contrast = jnp.float32(0.0)
+            aug_overflow = jnp.int32(0)
             if "features_aug" in batch:
                 conn_grid = pair_ops.pair_validity(batch["valid"]) \
                     & (batch["rel"] >= 0)
                 packed_c = pair_ops.pack_pairs(conn_grid, aug_capacity)
+                aug_overflow = jnp.maximum(packed_c.count - aug_capacity, 0)
                 out_aug, _ = forward_pairs(
                     model, params, batch, aug_capacity,
                     view="features_aug", deterministic=False,
@@ -321,9 +342,31 @@ def make_train_step(model: RelationClassifier, cfg, optimizer,
                     feats.astype(jnp.float32), labels, found,
                     cfg.model.num_geometric, cfg.model.num_possessive)
 
-            return compute_losses(cfg.model, cfg.training, out,
-                                  packed, targets, weights, cs_tables,
-                                  loss_contrast=loss_contrast)
+            if faithful:
+                b, n = batch["cats"].shape
+                sup_grid = None
+                if cfg.model.hierarchical_pred:
+                    sup_grid = _scatter_grid(out["super_relation"],
+                                             packed, b, n)
+                total, metrics = L.faithful_losses(
+                    cfg.model, cfg.training,
+                    _scatter_grid(out["relation"], packed, b, n),
+                    sup_grid,
+                    _scatter_grid(out["connectivity"], packed, b, n),
+                    batch["rel"], batch["valid"], weights,
+                    sub_cats=batch["cats"], obj_cats=batch["cats"],
+                    cs_tables=cs_tables, loss_contrast=loss_contrast)
+            else:
+                total, metrics = compute_losses(
+                    cfg.model, cfg.training, out, packed, targets, weights,
+                    cs_tables, loss_contrast=loss_contrast)
+            # silent pair-dropping is the one place the static-shape
+            # design can quietly change results — surface it as a metric
+            # (the loop/engines warn host-side when it goes positive)
+            metrics["pair_overflow"] = jnp.maximum(
+                packed.count - local_capacity, 0).astype(jnp.float32)
+            metrics["aug_pair_overflow"] = aug_overflow.astype(jnp.float32)
+            return total, metrics
 
         if cache_compute:
             (_, metrics), grads = jax.value_and_grad(
@@ -345,6 +388,14 @@ def make_train_step(model: RelationClassifier, cfg, optimizer,
             metrics = jax.lax.pmean(metrics, "data")
         updates, opt_state = optimizer.update(grads, state.opt_state,
                                               state.params)
+        if faithful:
+            # dynamic LR at step time: scaling the post-momentum update by
+            # s equals running torch SGD with lr*s for this step only
+            # (reference train_test.py:192; the LAST column's value is the
+            # one in effect when optimizer.step() fires)
+            scale = metrics["lr_scale"]
+            updates = jax.tree.map(lambda u: u * scale.astype(u.dtype),
+                                   updates)
         params = optax.apply_updates(state.params, updates)
         new_compute = cast_compute(params) if cache_compute else None
         return TrainState(params, opt_state, state.step + 1,
@@ -439,6 +490,10 @@ def make_eval_step(model: RelationClassifier, cfg, capacity: int = 0,
             "pair_img": pair_img, "pair_sub": packed.sub,
             "pair_obj": packed.obj, "pair_mask": packed.mask,
             "iou_ok": iou_ok,
+            # per-shard truncation telemetry ((1,) so the sharded concat
+            # yields one entry per shard; engines warn when count > cap)
+            "pair_count": packed.count[None],
+            "pair_capacity": jnp.full((1,), local_cap, jnp.int32),
         }
 
     if mesh is None:
