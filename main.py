@@ -46,7 +46,35 @@ def parse_args():
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--mesh_data", type=int, default=-1,
                     help="data-parallel mesh axis size (-1 = all devices)")
+    ap.add_argument("--mock-llm", action="store_true",
+                    help="prepare_cs with a deterministic offline stand-in "
+                         "for the OpenAI transport (integration tests / "
+                         "air-gapped dress rehearsals)")
     return ap.parse_args()
+
+
+def mock_llm_transport():
+    """Deterministic offline LLM: an edge's verdict is a hash of its text,
+    answered coherently across the 4 paraphrases (prompts 2/3 are negated,
+    commonsense/client.PROMPT_VARIATIONS), so majority votes are clean
+    +1/-1 and prepare_cs produces a meaningful aligned/violated split."""
+    import hashlib
+    import re
+
+    def transport(prompts):
+        out = []
+        for p in prompts:
+            m = re.search(r"'(.+?)'", p) \
+                or re.search(r"either a (.+?) or a", p) \
+                or re.search(r"relation (.+?) impossible", p)
+            edge = m.group(1) if m else p
+            positive = int(hashlib.md5(edge.lower().encode()).hexdigest(),
+                           16) % 4 != 0       # ~75% of edges pass
+            negated = p.startswith("Regardless") or "impossible" in p
+            out.append("Yes" if positive != negated else "No")
+        return out
+
+    return transport
 
 
 def build_cfg(args):
@@ -119,6 +147,17 @@ def real_batches(cfg, training: bool):
     return gen
 
 
+def prepped_batches(cfg, batches, featurize):
+    """Background-prefetched (and optionally DETR-featurized) batch stream
+    for the eval/prepare_cs paths; training.prefetch_batches=0 falls back
+    to synchronous loading."""
+    from scene_graph_commonsense_tpu.data.pipeline import prefetch_iterator
+    if cfg.training.prefetch_batches > 0:
+        return prefetch_iterator(batches, cfg.training.prefetch_batches,
+                                 featurize)
+    return map(featurize, batches) if featurize is not None else batches
+
+
 def init_relation_params(cfg, model):
     import jax
     import jax.numpy as jnp
@@ -180,7 +219,7 @@ def main():
         # Transformer / VCTree context + hierarchical head end-to-end
         from scene_graph_commonsense_tpu.train import checkpoint as ckpt_lib
         from scene_graph_commonsense_tpu.train import pnp_engine
-        if run_mode == "train":
+        if run_mode in ("train", "train_cs"):
             pnp_engine.fit_predictor(cfg, args.predictor, train_fn,
                                      test_fn, artifacts=artifacts,
                                      featurize=featurize,
@@ -192,7 +231,7 @@ def main():
                                 pnp_engine.checkpoint_name(
                                     args.predictor,
                                     cfg.data.supcat_clustering,
-                                    cfg.training.test_epoch))
+                                    cfg.training.test_epoch, run_mode))
             if os.path.exists(ckpt):
                 p = ckpt_lib.restore(ckpt, p)
             else:
@@ -234,9 +273,7 @@ def main():
         else:
             print(f"WARNING: relation checkpoint {ckpt} not found — "
                   f"evaluating randomly initialized weights")
-        batches = test_fn(0)
-        if featurize is not None:
-            batches = map(featurize, batches)
+        batches = prepped_batches(cfg, test_fn(0), featurize)
         if cfg.training.eval_mode == "pc":
             on_batch = None
             if cfg.training.save_vis_results:
@@ -287,10 +324,10 @@ def main():
         else:
             print(f"WARNING: relation checkpoint {ckpt} not found — "
                   f"prepare_cs will query predictions of random weights")
-        batches = train_fn(0)
-        if featurize is not None:
-            batches = map(featurize, batches)
-        run_prepare_cs(cfg, model, params, batches, artifacts)
+        batches = prepped_batches(cfg, train_fn(0), featurize)
+        transport = mock_llm_transport() if args.mock_llm else None
+        run_prepare_cs(cfg, model, params, batches, artifacts,
+                       transport=transport)
     else:
         sys.exit(f"unhandled run_mode {run_mode}")
 

@@ -124,6 +124,23 @@ class TrainConfig:
     # maxima; overflow drops the excess pairs from the (regularizing)
     # contrastive term only, never from the main losses.
     aug_pair_capacity: int = 0
+    # Reference-faithful training dynamics (parity mode, default off):
+    # per-column loss means with the connectivity rebinding, triangular
+    # re-accumulation weighting, the reference's typo'd class-weight table,
+    # and the dynamic LR ~ sqrt(live fraction) left in effect at step time
+    # (reference train_test.py:192, 219-258; train_utils.py:70-92;
+    # utils.py:258-263).  See train/losses.faithful_losses.
+    faithful_dynamics: bool = False
+    # SGCLS parity: replicate the reference's top-2 tie duplication when
+    # matching predicted labels onto GT boxes (reference utils.py:404-415)
+    # instead of the single best-IoU slot.
+    sgcls_top2_duplicates: bool = False
+    # Host input pipeline: number of batches kept in flight by a background
+    # producer thread (data/pipeline.prefetch_iterator); loading, DETR
+    # featurization, and host->device transfer overlap the train step.
+    # 0 = synchronous loading (the reference's num_workers=0 behavior,
+    # reference train_test.py:52).
+    prefetch_batches: int = 2
     seed: int = 0
     # Observability (SURVEY.md §5).  TensorBoard scalars mirror the
     # reference's tag set (train_test.py:279-285); profile_start_step >= 0

@@ -25,6 +25,7 @@ import numpy as np
 import optax
 
 from scene_graph_commonsense_tpu.constants import class_weights
+from scene_graph_commonsense_tpu.data.pipeline import prefetch_iterator
 from scene_graph_commonsense_tpu.eval.engines import run_eval_pc
 from scene_graph_commonsense_tpu.parallel.mesh import (
     replicate_tree, shard_batch)
@@ -145,7 +146,8 @@ def fit(cfg, model, params, train_batches_fn: Callable[[int], Iterable],
                    f"training from scratch")
 
     step = engine.make_train_step(model, cfg, opt, class_weights(
-        cfg.data.dataset, cfg.data.supcat_clustering),
+        cfg.data.dataset, cfg.data.supcat_clustering,
+        faithful=tc.faithful_dynamics),
         cs_tables=cs_tables, mesh=mesh, chunk_size=chunk_size)
     opt_state = opt.init(params)
     # seed the schedule count at the resume point so the absolute-boundary
@@ -185,6 +187,28 @@ def fit(cfg, model, params, train_batches_fn: Callable[[int], Iterable],
     # every iteration (state.step is an output of the async-dispatched
     # jitted step), killing host/device pipelining
     host_step = int(state.step)
+    overflow_warned = False
+
+    # host-side prep (drop paths, featurize, shard/transfer) runs on the
+    # prefetcher's background thread so it overlaps the device step —
+    # the reference's num_workers=0 loader serializes exactly this work
+    # (reference train_test.py:52)
+    def _prep(batch, shard=True):
+        if featurize is not None:
+            batch = featurize(batch)
+        else:
+            batch = dict(batch)
+        batch.pop("annot_path", None)
+        if shard and mesh is not None:
+            batch = shard_batch(mesh, batch)
+        return batch
+
+    def _prepped(batches, shard=True):
+        prep = lambda b: _prep(b, shard)  # noqa: E731
+        if tc.prefetch_batches > 0:
+            return prefetch_iterator(batches, tc.prefetch_batches, prep)
+        return map(prep, batches)
+
     for epoch in range(tc.start_epoch, tc.num_epoch):
         log_fn(f"Start Training... EPOCH {epoch} / {tc.num_epoch}")
         # per-epoch train recall, like the reference's in-epoch accumulation
@@ -192,12 +216,8 @@ def fit(cfg, model, params, train_batches_fn: Callable[[int], Iterable],
         # would be a cumulative average over all epochs
         train_eval.reset()
         t0 = time.time()
-        for batch_count, batch in enumerate(train_batches_fn(epoch)):
-            if featurize is not None:
-                batch = featurize(batch)
-            batch.pop("annot_path", None)
-            if mesh is not None:
-                batch = shard_batch(mesh, batch)
+        for batch_count, batch in enumerate(_prepped(train_batches_fn(
+                epoch))):
             profiler.step(host_step)
             state, metrics = step(state, batch, rng)
             host_step += 1
@@ -225,6 +245,14 @@ def fit(cfg, model, params, train_batches_fn: Callable[[int], Iterable],
 
             if (batch_count % tc.print_freq == 0):
                 metrics = jax.tree.map(float, metrics)
+                if not overflow_warned and (
+                        metrics.get("pair_overflow", 0) > 0
+                        or metrics.get("aug_pair_overflow", 0) > 0):
+                    overflow_warned = True
+                    log_fn("WARNING: packed pair buffer overflow — live "
+                           "pairs exceed training.pair_capacity and the "
+                           "excess is DROPPED (results can shift); raise "
+                           "pair_capacity / aug_pair_capacity")
                 lr = float(lr_schedule(cfg, steps_per_epoch)(host_step))
                 imgs = (batch_count + 1) * tc.batch_size
                 line = format_train_line(epoch, batch_count, lr, recall,
@@ -249,9 +277,7 @@ def fit(cfg, model, params, train_batches_fn: Callable[[int], Iterable],
 
         if test_batches_fn is not None:
             max_batches = 100 if epoch < 2 else None  # train_test.py:347
-            test_batches = map(_strip_paths, test_batches_fn(epoch))
-            if featurize is not None:
-                test_batches = map(featurize, test_batches)
+            test_batches = _prepped(test_batches_fn(epoch), shard=False)
             res = run_eval_pc(cfg, model, state.params, test_batches,
                               artifacts=artifacts, max_batches=max_batches,
                               estep=train_estep)
@@ -270,9 +296,3 @@ def fit(cfg, model, params, train_batches_fn: Callable[[int], Iterable],
     profiler.close()
     writer.close()
     return state
-
-
-def _strip_paths(batch):
-    batch = dict(batch)
-    batch.pop("annot_path", None)
-    return batch
