@@ -203,7 +203,8 @@ def rel_index_map(clustering: str) -> np.ndarray:
 
 
 def class_weights(dataset: str = "vg",
-                  clustering: str = "motif") -> np.ndarray:
+                  clustering: str = "motif",
+                  faithful: bool = False) -> np.ndarray:
     """Relation-loss class weights: 1 - count / sum(count)
     (reference train_test.py:105-106), in the SAME predicate order the
     dataset emits targets in — cluster order for VG
@@ -215,8 +216,14 @@ def class_weights(dataset: str = "vg",
     Documented deviation: counts are derived by scattering the frequency-
     order table through the permutation rather than hand-copied; the
     reference's reordered VG table (utils.py:258-263) carries a
-    transcription typo (2312 appears twice, 2380 is dropped at slot 19)."""
-    if dataset == "vg":
+    transcription typo (2312 appears twice, 2380 is dropped at slot 19).
+    `faithful=True` uses the reference's exact table instead — including
+    the typo AND its quirk of applying the motif-order table regardless of
+    the active clustering (reference utils.py:258-263 ignores
+    supcat_clustering) — for parity runs against reference checkpoints."""
+    if dataset == "vg" and faithful:
+        counts = VG_REL_COUNTS_SCAT.astype(np.float64)
+    elif dataset == "vg":
         m = rel_index_map(clustering)
         counts = np.zeros(len(m), np.float64)
         counts[m] = VG_REL_COUNTS_FREQ

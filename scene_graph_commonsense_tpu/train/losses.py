@@ -166,6 +166,156 @@ def commonsense_loss(relation: jnp.ndarray, sub_cats: jnp.ndarray,
     return loss
 
 
+def faithful_losses(model_cfg, train_cfg, relation: jnp.ndarray,
+                    super_relation: Optional[jnp.ndarray],
+                    conn_logits: jnp.ndarray, rel_targets: jnp.ndarray,
+                    valid: jnp.ndarray, class_weights: jnp.ndarray,
+                    sub_cats: Optional[jnp.ndarray] = None,
+                    obj_cats: Optional[jnp.ndarray] = None,
+                    cs_tables=None,
+                    loss_contrast=jnp.float32(0.0)):
+    """Reference-faithful training dynamics, as masked grid math.
+
+    The reference's triangular Python loop computes every loss term as a
+    per-COLUMN mean (a column = one (subject_slot, object_slot) grid cell
+    vectorized over the batch) and then accumulates columns with three
+    loop artifacts the clean estimator (compute_losses) deliberately drops:
+
+      * connectivity rebinding: a column with any connected row REPLACES
+        its not-connected BCE term with the connected-row BCE (reference
+        train_utils.py:70-92 rebinds `loss_connectivity`);
+      * triangular re-accumulation: `losses += <running sums>` once per
+        column-direction, so column-direction s (0-based, E total) is
+        weighted (E - s) in the backward loss (reference
+        train_test.py:219-258);
+      * lambda_contrast is applied twice (train_test.py:268-272 folds it
+        into loss_contrast AND the losses += line).
+
+    All inputs are grid-shaped: relation (B, N, N, R) branch log-probs (or
+    flat logits), super_relation (B, N, N, 3) or None, conn_logits
+    (B, N, N), rel_targets (B, N, N) int (-1 = none), valid (B, N),
+    sub/obj_cats (B, N) (only for train_cs).  Returns (total, metrics);
+    metrics report the plain per-term column sums (what the reference's
+    curr_loss_* values add up to) plus `lr_scale`, the dynamic-LR factor
+    sqrt(#images at the batch-max object count / B) that train_test.py:192
+    leaves in effect at optimizer.step() time.
+    """
+    m = model_cfg
+    b, n = valid.shape
+    dt = relation.dtype
+
+    rv = valid[:, :, None] & valid[:, None, :] \
+        & ~jnp.eye(n, dtype=bool)[None]
+    connected = rv & (rel_targets >= 0)
+
+    def cell_mean(v, mask):
+        mk = mask.astype(dt)
+        cnt = mk.sum(0)
+        return jnp.where(cnt > 0, (v * mk).sum(0) / jnp.maximum(cnt, 1),
+                         0.0)
+
+    def cell_weighted_nll(logp, tgt, w, mask):
+        safe = jnp.clip(tgt, 0, logp.shape[-1] - 1)
+        nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+        ww = w[safe] * mask.astype(dt)
+        wsum = ww.sum(0)
+        return jnp.where(wsum > 0, (nll * ww).sum(0)
+                         / jnp.maximum(wsum, 1e-12), 0.0)
+
+    # --- connectivity with the rebinding quirk ---
+    pos_cell = cell_mean(jax.nn.softplus(-conn_logits), connected)
+    neg_cell = cell_mean(jax.nn.softplus(conn_logits), rv & ~connected)
+    conn_cell = jnp.where(connected.any(0), pos_cell,
+                          train_cfg.lambda_not_connected * neg_cell)
+
+    # --- relationship per column ---
+    ng, npos = m.num_geometric, m.num_possessive
+    if m.hierarchical_pred:
+        sup_t = jnp.where(rel_targets < ng, 0,
+                          jnp.where(rel_targets < ng + npos, 1, 2))
+        rel_cell = cell_weighted_nll(super_relation, sup_t,
+                                     jnp.ones(3, dt), connected)
+        branches = [(relation[..., :ng], 0, ng),
+                    (relation[..., ng:ng + npos], ng, npos),
+                    (relation[..., ng + npos:], ng + npos,
+                     relation.shape[-1] - ng - npos)]
+        for block, off, width in branches:
+            in_b = connected & (rel_targets >= off) \
+                & (rel_targets < off + width)
+            rel_cell = rel_cell + cell_weighted_nll(
+                block, rel_targets - off,
+                jax.lax.dynamic_slice(class_weights, (off,), (width,)),
+                in_b)
+    else:
+        logp = jax.nn.log_softmax(relation, axis=-1)
+        rel_cell = cell_weighted_nll(logp, rel_targets, class_weights,
+                                     connected)
+
+    # --- commonsense per column (train_cs) ---
+    cs_cell = jnp.zeros((n, n), dt)
+    if cs_tables is not None:
+        aligned, violated = cs_tables
+        if m.hierarchical_pred:
+            blocks = [(relation[..., :ng], 0),
+                      (relation[..., ng:ng + npos], ng),
+                      (relation[..., ng + npos:], ng + npos)]
+        else:
+            blocks = [(relation, 0)]
+        probs, preds = [], []
+        for block, off in blocks:
+            p = jax.nn.softmax(block, axis=-1)
+            probs.append(p.max(axis=-1))
+            preds.append(block.argmax(axis=-1) + off)
+        probs = jnp.stack(probs)                      # (K, B, N, N)
+        preds = jnp.stack(preds)
+        sub = jnp.broadcast_to(sub_cats[None, :, :, None], preds.shape)
+        obj = jnp.broadcast_to(obj_cats[None, :, None, :], preds.shape)
+        tid = (sub * relation.shape[-1] + preds) * m.num_classes + obj
+        rvk = jnp.broadcast_to(rv[None], preds.shape)
+        # entry means are over (branch, batch) within each column
+        k = probs.shape[0]
+        probs2 = probs.reshape(k * b, n, n)
+        weak = (rvk & ~aligned[tid]).reshape(k * b, n, n)
+        strong = (rvk & violated[tid]).reshape(k * b, n, n)
+        cs_cell = train_cfg.lambda_cs_weak * cell_mean(probs2, weak) \
+            + train_cfg.lambda_cs_strong * cell_mean(probs2, strong)
+
+    # --- triangular re-accumulation weights ---
+    n_per = valid.sum(1)
+    n_max = n_per.max()
+    e_total = (n_max * (n_max - 1)).astype(dt)
+    i = jnp.arange(n)[:, None]
+    j = jnp.arange(n)[None, :]
+    s_lower = 2 * (i * (i - 1) // 2 + j)              # direction 1 (i > j)
+    s_upper = 2 * (j * (j - 1) // 2 + i) + 1          # direction 2 (i < j)
+    s_idx = jnp.where(i > j, s_lower, s_upper).astype(dt)
+    tri_w = jnp.maximum(e_total - s_idx, 0.0)
+
+    lam_c = train_cfg.lambda_connectivity
+    lam_cs = train_cfg.lambda_commonsense
+    tri_total = (tri_w * (rel_cell + lam_c * conn_cell
+                          + lam_cs * cs_cell)).sum()
+    total = tri_total \
+        + train_cfg.lambda_contrast ** 2 * loss_contrast  # applied twice
+
+    prob = jax.nn.sigmoid(conn_logits)
+    pred_pos = (prob >= 0.5) & rv
+    metrics = {
+        "loss": total,
+        "loss_relationship": rel_cell.sum(),
+        "loss_connectivity": conn_cell.sum(),
+        "loss_commonsense": cs_cell.sum(),
+        "loss_contrast": loss_contrast,
+        "num_connected": connected.sum(),
+        "num_not_connected": (rv & ~connected).sum(),
+        "num_connected_pred": pred_pos.sum(),
+        "connectivity_precision_hits": (pred_pos & connected).sum(),
+        "connectivity_recall_hits": ((prob >= 0.5) & connected).sum(),
+        "lr_scale": jnp.sqrt((n_per == n_max).mean(dtype=dt)),
+    }
+    return total, metrics
+
+
 def supcon_hierar_loss(features: jnp.ndarray, labels: jnp.ndarray,
                        valid: jnp.ndarray, num_geometric: int,
                        num_possessive: int, temperature: float = 0.07,
