@@ -5,21 +5,54 @@ packed pair grid, all loss terms, SGD update) on synthetic VG-shaped batches
 at real model dimensions, and prints ONE JSON line:
 
   {"metric": "train_images_per_sec_per_chip", "value": N, "unit": "img/s",
-   "vs_baseline": N}
+   "vs_baseline": N, "mfu_pct": N}
 
-Baseline note: the reference publishes no throughput numbers (BASELINE.md).
-Its training hardware is 4x V100 with batch 12/GPU driving a Python
-triangular pair loop that launches ~2 small forwards per pair column
-(reference train_test.py:190-258).  REFERENCE_IMG_PER_SEC_PER_CHIP below is
-a deliberately generous analytic estimate for one V100 on that loop
-(~56 directed pairs/image x ~3 GFLOP/pair at low utilization plus per-column
-launch overhead); vs_baseline = measured / estimate.
+Baseline note: the reference publishes no throughput numbers (BASELINE.md),
+so tools/bench_reference.py executes the reference's ACTUAL training loop
+(reference train_test.py:31-330) and this framework's step like-for-like on
+the same machine (CPU, same scenes, featurize included) and records both in
+BASELINE_MEASURED.json.  vs_baseline reports that measured CPU-vs-CPU
+software-efficiency ratio — a hardware-independent comparison that neither
+penalizes the reference for lacking its V100s nor credits this framework's
+TPU.  When the measurement file is absent, vs_baseline falls back to the
+round-1 analytic estimate of 10 img/s for one V100 on the reference's
+Python pair loop.
+
+mfu_pct = XLA's cost-analysis FLOPs for the step / measured step time /
+the chip's peak dense FLOPS (model-flops utilization).
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+PEAK_FLOPS = {      # bf16 dense peak per chip
+    "v4": 275e12,
+    "v5 lite": 197e12, "v5e": 197e12,
+    "v5p": 459e12, "v5": 459e12,
+    "v6 lite": 918e12, "v6e": 918e12,
+}
+
+
+def _peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, val in PEAK_FLOPS.items():
+        if key in kind:
+            return val
+    return 197e12   # assume v5e when the kind string is unrecognized
+
+
+def _measured_baseline():
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            data = json.load(f)
+        if "cpu_speedup_vs_reference" in data:
+            return data["cpu_speedup_vs_reference"], "measured-cpu-ratio"
+    return None, None
 
 # Measurement note: this loop is honest on the axon TPU tunnel (where
 # jax.block_until_ready does NOT block) because each step's donated
@@ -84,13 +117,32 @@ def main():
     dt = time.perf_counter() - t0
 
     img_per_sec = BATCH_SIZE * STEPS / dt
-    print(json.dumps({
+
+    # model-flops utilization from XLA's own cost analysis of the program
+    mfu = None
+    try:
+        cost = jax.jit(step).lower(state, batch, key).compile() \
+            .cost_analysis()
+        flops = (cost or {}).get("flops", 0.0)
+        if flops:
+            mfu = flops / (dt / STEPS) / _peak_flops(jax.devices()[0])
+    except Exception:
+        pass
+
+    ratio, source = _measured_baseline()
+    if ratio is None:
+        ratio = img_per_sec / REFERENCE_IMG_PER_SEC_PER_CHIP
+        source = "analytic-v100-estimate"
+    out = {
         "metric": "train_images_per_sec_per_chip",
         "value": round(img_per_sec, 2),
         "unit": "img/s",
-        "vs_baseline": round(img_per_sec / REFERENCE_IMG_PER_SEC_PER_CHIP,
-                             2),
-    }))
+        "vs_baseline": round(ratio, 2),
+        "vs_baseline_source": source,
+    }
+    if mfu is not None:
+        out["mfu_pct"] = round(100 * mfu, 2)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

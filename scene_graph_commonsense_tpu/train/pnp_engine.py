@@ -109,9 +109,14 @@ def _forward(predictor, params, batch, deterministic=True, rng=None,
     return out
 
 
-def make_pnp_train_step(predictor: HierarchicalPredictor, cfg, optimizer):
+def make_pnp_train_step(predictor: HierarchicalPredictor, cfg, optimizer,
+                        cs_tables=None):
     """Jitted train step: hierarchical relation NLL + connectivity BCE
-    (+ object-decode CE outside predcls mode)."""
+    (+ object-decode CE outside predcls mode; + the commonsense penalty
+    over LLM-validated triplet tables when cs_tables is given — the same
+    train_cs composition the reference applies to its base model,
+    reference train_utils.py:36-60, here available to every plug-and-play
+    family)."""
     tc = cfg.training
 
     def step(state: TrainState, batch, rng):
@@ -159,8 +164,23 @@ def make_pnp_train_step(predictor: HierarchicalPredictor, cfg, optimizer):
                     lab, batch["cats"][..., None], axis=-1)[..., 0]
                 loss_obj = jnp.sum(nll * v) / jnp.maximum(jnp.sum(v), 1)
                 loss = loss + loss_obj
+            loss_cs = jnp.float32(0.0)
+            if cs_tables is not None:
+                b_, n_ = batch["cats"].shape
+                flat_cats = batch["cats"].reshape(b_ * n_)
+                img = out["pair_img"]
+                loss_cs = L.commonsense_loss(
+                    out["relation"],
+                    flat_cats[img * n_ + out["pair_sub"]],
+                    flat_cats[img * n_ + out["pair_obj"]],
+                    valid_p, cs_tables[0], cs_tables[1],
+                    cfg.model.num_geometric, cfg.model.num_possessive,
+                    cfg.model.num_classes, tc.lambda_cs_weak,
+                    tc.lambda_cs_strong, hierarchical=True)
+                loss = loss + tc.lambda_commonsense * loss_cs
             metrics = {"loss": loss, "loss_relationship": loss_rel,
-                       "loss_connectivity": conn.loss, **extra}
+                       "loss_connectivity": conn.loss,
+                       "loss_commonsense": loss_cs, **extra}
             return loss, metrics
 
         (_, metrics), grads = jax.value_and_grad(
@@ -237,10 +257,13 @@ def make_predictor(cfg, family: str) -> HierarchicalPredictor:
         box_scale=float(cfg.model.feature_size))
 
 
-def checkpoint_name(family: str, cluster: str, epoch: int) -> str:
-    """PnpMotifsModel_{cluster}{epoch} — the pnp analogue of the flagship
-    checkpoint naming (train.checkpoint.checkpoint_name)."""
-    return f"Pnp{family.capitalize()}Model_{cluster}{epoch}"
+def checkpoint_name(family: str, cluster: str, epoch: int,
+                    run_mode: str = "train") -> str:
+    """Pnp{Family}Model[_CS]_{cluster}{epoch} — the pnp analogue of the
+    flagship checkpoint naming (train.checkpoint.checkpoint_name); train_cs
+    runs get the same _CS marker the flagship uses."""
+    cs = "_CS" if run_mode in ("train_cs", "eval_cs") else ""
+    return f"Pnp{family.capitalize()}Model{cs}_{cluster}{epoch}"
 
 
 def fit_predictor(cfg, family: str,
@@ -262,11 +285,26 @@ def fit_predictor(cfg, family: str,
     tc = cfg.training
     predictor = make_predictor(cfg, family)
     params = init_predictor_params(cfg, predictor)
+    cs_tables = None
+    if tc.run_mode == "train_cs":
+        if artifacts is None or artifacts.cs_aligned is None:
+            raise ValueError("train_cs requires converted commonsense "
+                             "triplet tables (run prepare_cs first)")
+        cs_tables = (jnp.asarray(artifacts.cs_aligned),
+                     jnp.asarray(artifacts.cs_violated))
+        # the CS run continues from the baseline predictor when one exists
+        # (the reference's train_cs resumes its baseline checkpoint,
+        # reference train_test.py:83-94)
+        base = os.path.join(tc.checkpoint_path, checkpoint_name(
+            family, cfg.data.supcat_clustering, tc.num_epoch - 1))
+        if os.path.exists(base):
+            params = ckpt_lib.restore(base, params)
+            log_fn(f"[pnp:{family}] resumed baseline weights from {base}")
     opt = engine.make_optimizer(lr_schedule(cfg, steps_per_epoch),
                                 momentum=tc.momentum,
                                 weight_decay=tc.weight_decay,
                                 grad_clip_norm=tc.grad_clip_norm or 5.0)
-    step = make_pnp_train_step(predictor, cfg, opt)
+    step = make_pnp_train_step(predictor, cfg, opt, cs_tables=cs_tables)
     estep = make_pnp_eval_step(predictor, cfg)
     state = TrainState(params, opt.init(params), jnp.int32(0))
     rng = jax.random.PRNGKey(tc.seed)
@@ -290,7 +328,7 @@ def fit_predictor(cfg, family: str,
                 log_fn(f"[pnp:{family}] epoch {epoch} batch {i} " +
                        " ".join(f"{k}={v:.4f}" for k, v in m.items()))
         path = os.path.join(tc.checkpoint_path, checkpoint_name(
-            family, cfg.data.supcat_clustering, epoch))
+            family, cfg.data.supcat_clustering, epoch, tc.run_mode))
         ckpt_lib.save(path, jax.device_get(state.params))
         log_fn(f"[pnp:{family}] Saved checkpoint {path}")
         if test_batches_fn is not None:

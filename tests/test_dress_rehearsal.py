@@ -1,0 +1,237 @@
+"""Full-ladder CLI dress rehearsal on a fabricated mini-VG.
+
+Drives `python main.py` end to end through every run_mode of the reference's
+mode matrix (reference main.py:103-123) on a miniature dataset in the
+reference's on-disk format (tools/make_mini_vg.py):
+
+  train -> eval pc -> prepare_cs (--mock-llm) -> train_cs -> eval_cs
+        -> eval sgc -> eval sgd (random DETR) -> --predictor motifs
+        train / eval / eval --tde
+
+Asserts each stage exits 0 and produces its artifact (checkpoints,
+commonsense triplet tables, recall JSON lines), and that PredCLS recall
+beats chance after training (the mini scenes follow a class-pair ->
+predicate grammar the label-conditioned head can learn).
+
+Marked slow: the ladder compiles the full DETR encoder on CPU once (a
+shared JAX compilation cache keeps the later stages fast).
+"""
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def mini_vg(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("mini_vg")
+    out = tmp / "data"
+    subprocess.run(
+        [sys.executable, "tools/make_mini_vg.py", "--out", str(out),
+         "--images", "48", "--feature-size", "8", "--image-size", "256",
+         "--max-objects", "8", "--num-classes", "10"],
+        cwd=ROOT, check=True, timeout=300)
+    art = out / "artifacts"
+    art.mkdir()
+    # real converted zero-shot / sub2super tables, in a private copy so
+    # prepare_cs output cannot clobber the repo artifact
+    import shutil
+    shutil.copy(os.path.join(ROOT, "datasets/artifacts/vg_artifacts.npz"),
+                art / "vg_artifacts.npz")
+    (tmp / "ckpt").mkdir()
+    (tmp / "results").mkdir()
+
+    cfg = f"""
+data:
+  image_dir: {out}/images
+  annot_dir: {out}/annot
+  annotation_train: {out}/instances_vg_train.json
+  annotation_test: {out}/instances_vg_test.json
+  artifacts_dir: {art}
+  max_objects: 8
+model:
+  image_size: 256
+  feature_size: 8
+  hidden_dim: 16
+  compute_dtype: float32
+  detr_pretrained: {tmp}/no_such_checkpoint.msgpack
+training:
+  batch_size: 2
+  num_epoch: 3
+  learning_rate: 0.003
+  grad_clip_norm: 1.0
+  print_freq: 5
+  eval_freq: 0
+  test_epoch: 2
+  checkpoint_path: {tmp}/ckpt/
+  result_path: {tmp}/results/
+"""
+    cfg_path = tmp / "mini.yaml"
+    cfg_path.write_text(cfg)
+    return {"tmp": tmp, "cfg": str(cfg_path), "art": art}
+
+
+def run_cli(mini, *args, timeout=1800):
+    env = dict(os.environ,
+               JAX_PLATFORMS="cpu",
+               JAX_COMPILATION_CACHE_DIR=str(mini["tmp"] / "jaxcache"))
+    proc = subprocess.run(
+        [sys.executable, "main.py", "--config", mini["cfg"], *args],
+        cwd=ROOT, env=env, capture_output=True, text=True, timeout=timeout)
+    assert proc.returncode == 0, \
+        f"CLI {' '.join(args)} failed:\n{proc.stdout[-3000:]}\n" \
+        f"{proc.stderr[-3000:]}"
+    return proc.stdout
+
+
+def _last_json(stdout):
+    for line in reversed(stdout.strip().splitlines()):
+        if line.startswith("{"):
+            return json.loads(line)
+    raise AssertionError(f"no JSON result line in:\n{stdout[-2000:]}")
+
+
+@pytest.mark.slow
+def test_full_ladder(mini_vg):
+    tmp = mini_vg["tmp"]
+
+    # ---- train (baseline) ----
+    out = run_cli(mini_vg, "--run_mode", "train", "--eval_mode", "pc",
+                  "--hierar")
+    assert "Saved checkpoint" in out
+    assert (tmp / "ckpt" / "HierRelationModel_Baseline_motif2").exists()
+    test_lines = re.findall(r"TEST, epoch \d+, R@k: ([\d.]+), ([\d.]+), "
+                            r"([\d.]+)", out)
+    assert test_lines, out[-2000:]
+
+    # ---- eval pc: beats chance on the learnable grammar ----
+    out = run_cli(mini_vg, "--run_mode", "eval", "--eval_mode", "pc",
+                  "--hierar")
+    res = _last_json(out)
+    assert res["recall"][2] > 0.2, res      # R@100 well above random
+
+    # ---- prepare_cs with the mock LLM ----
+    out = run_cli(mini_vg, "--run_mode", "prepare_cs", "--eval_mode", "pc",
+                  "--hierar", "--mock-llm")
+    cs_path = mini_vg["art"] / "commonsense_triplets.npz"
+    assert cs_path.exists()
+    cs = np.load(cs_path)
+    assert len(cs["cs_aligned_sub"]) > 0
+
+    # ---- train_cs (commonsense penalty active) ----
+    out = run_cli(mini_vg, "--run_mode", "train_cs", "--eval_mode", "pc",
+                  "--hierar")
+    assert (tmp / "ckpt" / "HierRelationModel_CS_motif2").exists()
+
+    # ---- eval_cs ----
+    out = run_cli(mini_vg, "--run_mode", "eval_cs", "--eval_mode", "pc",
+                  "--hierar")
+    res_cs = _last_json(out)
+    assert res_cs["num_targets"] > 0
+
+    # ---- eval sgc / sgd with the random-weight DETR ----
+    for mode in ("sgc", "sgd"):
+        out = run_cli(mini_vg, "--run_mode", "eval", "--eval_mode", mode,
+                      "--hierar")
+        res = _last_json(out)
+        assert "recall" in res and len(res["recall"]) == 3
+
+    # ---- plug-and-play predictor: train, train_cs, eval, eval --tde ----
+    out = run_cli(mini_vg, "--run_mode", "train", "--eval_mode", "pc",
+                  "--hierar", "--predictor", "motifs")
+    assert (tmp / "ckpt" / "PnpMotifsModel_motif2").exists(), out[-2000:]
+    out = run_cli(mini_vg, "--run_mode", "train_cs", "--eval_mode", "pc",
+                  "--hierar", "--predictor", "motifs")
+    assert "resumed baseline weights" in out
+    assert (tmp / "ckpt" / "PnpMotifsModel_CS_motif2").exists()
+    out = run_cli(mini_vg, "--run_mode", "eval", "--eval_mode", "pc",
+                  "--hierar", "--predictor", "motifs")
+    assert "recall" in _last_json(out)
+    out = run_cli(mini_vg, "--run_mode", "eval", "--eval_mode", "pc",
+                  "--hierar", "--predictor", "motifs", "--tde")
+    assert "recall" in _last_json(out)
+
+
+@pytest.fixture(scope="module")
+def mini_oiv6(tmp_path_factory):
+    """SGTR-style OIv6 fixture: vrd-*-anno.json + images."""
+    from PIL import Image
+    rng = np.random.default_rng(3)
+    tmp = tmp_path_factory.mktemp("mini_oiv6")
+    img_dir = tmp / "images"
+    img_dir.mkdir()
+    records = []
+    for i in range(24):
+        n = int(rng.integers(2, 6))
+        w, h = 200, 160
+        bbox = []
+        for _ in range(n):
+            x0, y0 = int(rng.integers(0, w - 40)), int(rng.integers(0,
+                                                                    h - 40))
+            bbox.append([x0, y0, x0 + int(rng.integers(20, 40)),
+                         y0 + int(rng.integers(20, 40))])
+        labels = [int(c) for c in rng.integers(0, 30, n)]
+        rels = []
+        for a in range(n):
+            for b in range(n):
+                if a != b and rng.random() < 0.3:
+                    rels.append([a, b, int((labels[a] + labels[b]) % 30)])
+        records.append({"img_fn": f"oimg{i}", "img_size": [w, h],
+                        "det_labels": labels, "bbox": bbox,
+                        "rel": rels or [[0, 1, 0]]})
+        arr = rng.integers(0, 255, (h, w, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(img_dir / f"oimg{i}.jpg")
+    train_json = tmp / "vrd-train-anno.json"
+    test_json = tmp / "vrd-test-anno.json"
+    train_json.write_text(json.dumps(records[:18]))
+    test_json.write_text(json.dumps(records[18:]))
+    (tmp / "ckpt").mkdir()
+    (tmp / "results").mkdir()
+    cfg = f"""
+data:
+  dataset: oiv6
+  image_dir: {img_dir}
+  annotation_train: {train_json}
+  annotation_test: {test_json}
+  max_objects: 6
+model:
+  image_size: 256
+  feature_size: 8
+  hidden_dim: 16
+  compute_dtype: float32
+  detr_pretrained: {tmp}/no_such_checkpoint.msgpack
+training:
+  batch_size: 2
+  num_epoch: 1
+  learning_rate: 0.001
+  grad_clip_norm: 1.0
+  print_freq: 5
+  eval_freq: 0
+  test_epoch: 0
+  checkpoint_path: {tmp}/ckpt/
+  result_path: {tmp}/results/
+"""
+    cfg_path = tmp / "oiv6.yaml"
+    cfg_path.write_text(cfg)
+    return {"tmp": tmp, "cfg": str(cfg_path)}
+
+
+@pytest.mark.slow
+def test_oiv6_cli_ladder(mini_oiv6):
+    """OIv6 through the CLI: train one epoch, then PredCLS eval reporting
+    wmap_rel / wmap_phrase (reference evaluator.py:522-566)."""
+    out = run_cli(mini_oiv6, "--run_mode", "train", "--eval_mode", "pc",
+                  "--hierar", "--dataset", "oiv6")
+    assert "Saved checkpoint" in out
+    out = run_cli(mini_oiv6, "--run_mode", "eval", "--eval_mode", "pc",
+                  "--hierar", "--dataset", "oiv6")
+    res = _last_json(out)
+    assert "wmap_rel" in res and "wmap_phrase" in res
+    assert 0 <= res["wmap_rel"] <= 1 and 0 <= res["wmap_phrase"] <= 1

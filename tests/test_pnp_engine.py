@@ -64,6 +64,36 @@ def test_pnp_train_step_decreases_loss(family):
     assert losses[-1] < losses[0]
 
 
+def test_pnp_train_step_with_commonsense_penalty():
+    """train_cs composition for pnp families (reference composes the
+    commonsense penalty with every model it trains, train_utils.py:36-60):
+    the penalty is positive with empty aligned tables (every prediction
+    pays the weak term), zero when every triplet is aligned."""
+    cfg = _cfg()
+    predictor = pnp_engine.make_predictor(cfg, "motifs")
+    params = pnp_engine.init_predictor_params(cfg, predictor)
+    opt = optax.adamw(1e-3)
+    n_ids = 150 * 50 * 150
+    empty = jnp.zeros(n_ids, bool)
+    batch = _batch(cfg)
+    rng = jax.random.PRNGKey(0)
+
+    def fresh_state():   # the step donates (and deletes) its state input
+        p = jax.tree.map(jnp.array, params)
+        return TrainState(p, opt.init(p), jnp.int32(0))
+
+    step = pnp_engine.make_pnp_train_step(
+        predictor, cfg, opt, cs_tables=(empty, empty))
+    _, metrics = step(fresh_state(), batch, rng)
+    assert float(metrics["loss_commonsense"]) > 0
+
+    step_ok = pnp_engine.make_pnp_train_step(
+        predictor, cfg, opt, cs_tables=(jnp.ones(n_ids, bool), empty))
+    _, metrics_ok = step_ok(fresh_state(), batch, rng)
+    assert float(metrics_ok["loss_commonsense"]) == 0.0
+    assert float(metrics["loss"]) > float(metrics_ok["loss"])
+
+
 def test_pnp_eval_produces_recall():
     cfg = _cfg()
     predictor = pnp_engine.make_predictor(cfg, "transformer")

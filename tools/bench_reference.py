@@ -1,0 +1,399 @@
+"""Measured throughput baseline: the reference's ACTUAL training loop vs
+this framework, like-for-like on the same machine (CPU), plus merge helpers
+for the BASELINE_MEASURED.json record.
+
+The reference publishes no throughput numbers (BASELINE.md), and its code is
+CUDA-hardwired, so this tool executes `training()` from
+/root/reference/train_test.py:31-330 unmodified except for environment
+adaptation:
+
+  * torch device moves are patched so `.to(rank)` / `.cuda()` land on CPU
+    (the gloo backend the reference already uses is CPU-capable);
+  * `build_detr101` (reference utils.py:88-120, a torch.hub download) is
+    replaced by a random-weight replica of the same hub architecture
+    (tests/torch_detr.py) wrapped in the hub interface consumed by
+    `process_image_features` (reference train_utils.py:9-18) — identical
+    compute, no network;
+  * the dataset is synthetic but contract-exact: reference dataloader.py
+    __getitem__ tuples (square image, aug view, 32x32 depth, per-object
+    categories / super-category lists / 32-grid boxes, lower-triangular
+    relationships + subj_or_obj rows, annot path).
+
+Per-batch wall time comes from timestamps recorded in the dataset's
+__getitem__: with num_workers=0 the fetch of batch k+1 happens right after
+batch k's compute, so consecutive batch-start deltas are full steady-state
+cycles, excluding model/optimizer startup.
+
+Usage:
+  python tools/bench_reference.py reference [--batches 4] [--batch-size 12]
+  python tools/bench_reference.py ours      [--batches 4] [--batch-size 12]
+  python tools/bench_reference.py merge     # recompute ratios in the JSON
+
+Each writes/updates BASELINE_MEASURED.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
+REFERENCE = "/root/reference"
+OUT_PATH = os.path.join(ROOT, "BASELINE_MEASURED.json")
+
+IMAGE_SIZE = 1024
+FEATURE_SIZE = 32
+MEAN_OBJECTS = 8.0
+MAX_OBJECTS = 20
+
+
+def _object_counts(rng: np.random.Generator, n_images: int) -> np.ndarray:
+    """Same scene-size distribution as data.synthetic.synthetic_batch."""
+    return np.clip(rng.poisson(MEAN_OBJECTS, n_images), 2, MAX_OBJECTS)
+
+
+def _update_out(record: dict) -> None:
+    data = {}
+    if os.path.exists(OUT_PATH):
+        with open(OUT_PATH) as f:
+            data = json.load(f)
+    data.update(record)
+    ours = data.get("ours_cpu_img_per_sec")
+    ref = data.get("reference_cpu_img_per_sec")
+    if ours and ref:
+        data["cpu_speedup_vs_reference"] = round(ours / ref, 2)
+    with open(OUT_PATH, "w") as f:
+        json.dump(data, f, indent=2)
+        f.write("\n")
+    print(json.dumps(data))
+
+
+# ---------------------------------------------------------------------------
+# Reference side
+# ---------------------------------------------------------------------------
+
+def _patch_torch_cpu(torch):
+    """Maps integer / cuda device specs onto CPU for both tensors and
+    modules (the reference threads the gpu index through `.to(rank)`)."""
+
+    def _fix(args, kwargs):
+        if args and (isinstance(args[0], int)
+                     or (isinstance(args[0], str)
+                         and args[0].startswith("cuda"))
+                     or (isinstance(args[0], torch.device)
+                         and args[0].type == "cuda")):
+            args = ("cpu",) + args[1:]
+        if isinstance(kwargs.get("device"), (int, str, torch.device)):
+            kwargs = dict(kwargs, device="cpu")
+        return args, kwargs
+
+    orig_t_to = torch.Tensor.to
+    orig_m_to = torch.nn.Module.to
+
+    def t_to(self, *args, **kwargs):
+        args, kwargs = _fix(args, kwargs)
+        return orig_t_to(self, *args, **kwargs)
+
+    def m_to(self, *args, **kwargs):
+        args, kwargs = _fix(args, kwargs)
+        return orig_m_to(self, *args, **kwargs)
+
+    torch.Tensor.to = t_to
+    torch.nn.Module.to = m_to
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    torch.nn.Module.cuda = lambda self, *a, **k: self
+    torch.cuda.device_count = lambda: 1
+    torch.cuda.set_device = lambda *a, **k: None
+
+
+class _RefDataset:
+    """Reference dataloader.py __getitem__ contract, synthetic content,
+    with fetch timestamps for steady-state batch timing."""
+
+    def __init__(self, torch, n_images, counts, seed=0):
+        self.torch = torch
+        self.n = n_images
+        self.counts = counts
+        self.rng = np.random.default_rng(seed)
+        self.fetch_times = []
+        s, fs = IMAGE_SIZE, FEATURE_SIZE
+        # one shared pixel buffer: content doesn't affect timing, but
+        # allocating 1024^2 floats per fetch would
+        self._image = self.torch.from_numpy(
+            self.rng.standard_normal((3, s, s)).astype(np.float32))
+        self._image_aug = self._image * 1.01
+        self._depth = self.torch.from_numpy(
+            self.rng.random((1, fs, fs)).astype(np.float32))
+
+    def __len__(self):
+        return self.n
+
+    def __getitem__(self, idx):
+        self.fetch_times.append(time.monotonic())
+        torch = self.torch
+        rng = np.random.default_rng(idx + 1)
+        n = int(self.counts[idx % len(self.counts)])
+        fs = FEATURE_SIZE
+        cats = torch.from_numpy(rng.integers(0, 150, n))
+        supercats = [torch.from_numpy(np.sort(rng.choice(
+            17, rng.integers(1, 4), replace=False))) for _ in range(n)]
+        x0 = rng.integers(0, fs - 2, n)
+        y0 = rng.integers(0, fs - 2, n)
+        x1 = np.minimum(x0 + rng.integers(2, fs, n), fs)
+        y1 = np.minimum(y0 + rng.integers(2, fs, n), fs)
+        bbox = torch.from_numpy(
+            np.stack([x0, x1, y0, y1], 1).astype(np.float32))
+        relationships, subj_or_obj = [], []
+        for i in range(1, n):
+            row = np.full(i, -1, np.int64)
+            direction = np.full(i, -1.0, np.float32)
+            for j in range(i):
+                if rng.random() < 0.25:
+                    row[j] = rng.integers(0, 50)
+                    direction[j] = float(rng.integers(0, 2))
+            relationships.append(torch.from_numpy(row))
+            subj_or_obj.append(torch.from_numpy(direction))
+        return (self._image, self._image_aug, self._depth, cats, supercats,
+                bbox, relationships, subj_or_obj,
+                f"synthetic_{idx}_annotations.pkl")
+
+
+def _hub_detr(torch, nn):
+    """tests/torch_detr.py wrapped in the torch.hub DETR interface that
+    process_image_features consumes (reference train_utils.py:9-18)."""
+    sys.path.insert(0, os.path.join(ROOT, "tests"))
+    from torch_detr import TorchDETR, sine_position_embedding
+
+    inner = TorchDETR()
+
+    class HubJoiner(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.body = inner.backbone[0].body
+
+        def forward(self, ntensor):
+            feat = self.body(ntensor.tensors)
+            mask = torch.nn.functional.interpolate(
+                ntensor.mask[:, None].float(),
+                size=feat.shape[-2:]).bool()[:, 0]
+            pos = sine_position_embedding(~mask, 128).float()
+            import utils as ref_utils
+            return [ref_utils.NestedTensor(feat, mask)], [pos]
+
+    class HubEncoder(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.layers = inner.transformer.encoder.layers
+
+        def forward(self, src, src_key_padding_mask=None, pos=None):
+            out = src
+            for layer in self.layers:
+                out = layer(out, pos, src_key_padding_mask)
+            return out
+
+    class HubTransformer(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = HubEncoder()
+
+    class HubDETR(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = HubJoiner()
+            self.input_proj = inner.input_proj
+            self.transformer = HubTransformer()
+
+    return HubDETR()
+
+
+def run_reference(n_batches: int, batch_size: int) -> None:
+    sys.path.insert(0, os.path.join(ROOT, "tests"))
+    from reference_shim import _install_stubs
+    _install_stubs()
+    sys.path.insert(0, REFERENCE)
+
+    import torch
+    import torch.nn as nn
+    import yaml
+
+    _patch_torch_cpu(torch)
+    torch.manual_seed(0)
+
+    with open(os.path.join(REFERENCE, "config.yaml")) as f:
+        args = yaml.safe_load(f)
+
+    tmp = tempfile.mkdtemp(prefix="refbench_")
+    annot = os.path.join(REFERENCE, "datasets/vg_scene_graph_annot")
+    args["dataset"].update({
+        "dataset": "vg",
+        "train_triplets": f"{annot}/train_triplets.pt",
+        "test_triplets": f"{annot}/test_triplets.pt",
+        "zero_shot_triplets": f"{annot}/zero_shot_triplets.pt",
+        "supcat_clustering": "motif",
+    })
+    args["models"].update({
+        "hierarchical_pred": True, "num_classes": 150,
+        "num_super_classes": 17, "num_geometric": 15, "num_possessive": 11,
+        "num_semantic": 24, "num_relations": 50,
+        "feature_size": FEATURE_SIZE, "image_size": IMAGE_SIZE,
+        "hidden_dim": 128, "num_img_feature": 256,
+        "llm_model": "gpt3.5", "topk_cat": 2,
+    })
+    args["training"].update({
+        "run_mode": "train", "continue_train": False, "start_epoch": 0,
+        "num_epoch": 1, "batch_size": batch_size,
+        "result_path": tmp + "/", "checkpoint_path": tmp + "/",
+        # keep recall bookkeeping off the steady-state batches
+        "print_freq": 10 ** 6, "eval_freq": 10 ** 6,
+        "print_freq_test": 10 ** 6, "eval_freq_test": 10 ** 6,
+        "verbose": False,
+    })
+
+    import train_test
+    train_test.build_detr101 = lambda a: _hub_detr(torch, nn)
+
+    rng = np.random.default_rng(42)
+    counts = _object_counts(rng, batch_size * n_batches)
+    train_ds = _RefDataset(torch, batch_size * n_batches, counts, seed=1)
+    test_ds = _RefDataset(torch, batch_size, counts[:batch_size], seed=2)
+
+    cwd = os.getcwd()
+    os.chdir(tmp)       # TensorBoard runs/ and relative writes land here
+    t0 = time.monotonic()
+    try:
+        train_test.training(0, args, train_ds, test_ds)
+    finally:
+        os.chdir(cwd)
+        import torch.distributed as dist
+        if dist.is_initialized():
+            dist.destroy_process_group()
+    total = time.monotonic() - t0
+
+    times = train_ds.fetch_times
+    starts = [times[i] for i in range(0, len(times), batch_size)]
+    cycles = [b - a for a, b in zip(starts, starts[1:])]
+    # drop the first cycle (autograd warmup/allocator growth)
+    steady = cycles[1:] if len(cycles) > 2 else cycles
+    per_batch = statistics.median(steady)
+    _update_out({
+        "reference_cpu_img_per_sec": round(batch_size / per_batch, 4),
+        "reference_cpu_sec_per_batch": round(per_batch, 2),
+        "reference_cpu_batch_cycles_sec": [round(c, 2) for c in cycles],
+        "reference_cpu_total_sec": round(total, 1),
+        "reference_config": {
+            "batch_size": batch_size, "batches": n_batches,
+            "image_size": IMAGE_SIZE, "mean_objects": MEAN_OBJECTS,
+            "loop": "reference train_test.py:31-330 (gloo, 1 proc, CPU)",
+        },
+    })
+
+
+# ---------------------------------------------------------------------------
+# Framework side (same machine, CPU, featurize included)
+# ---------------------------------------------------------------------------
+
+def run_ours(n_batches: int, batch_size: int) -> None:
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from scene_graph_commonsense_tpu.config import derive
+    from scene_graph_commonsense_tpu.constants import class_weights
+    from scene_graph_commonsense_tpu.data.synthetic import synthetic_batch
+    from scene_graph_commonsense_tpu.models.detr import DETR
+    from scene_graph_commonsense_tpu.models.relation_head import (
+        make_relation_classifier)
+    from scene_graph_commonsense_tpu.train import engine
+
+    cfg = derive("vg", hierarchical_pred=True,
+                 training={"batch_size": batch_size,
+                           "pair_capacity": 1024})
+    model = make_relation_classifier(cfg)
+    s = cfg.model.feature_size
+    x0 = jnp.zeros((2, s, s, cfg.model.num_img_feature + 1))
+    c0 = jnp.zeros(2, jnp.int32)
+    s0 = jnp.zeros((2, cfg.model.num_super_classes))
+    params = model.init(jax.random.PRNGKey(0), x0, x0, c0, c0, s0, s0)
+
+    detr = DETR()
+    detr_params = detr.init(jax.random.PRNGKey(1),
+                            jnp.zeros((1, 64, 64, 3)), None)
+
+    @jax.jit
+    def encode(images):
+        return detr.apply(detr_params, images, method=DETR.encode_features)
+
+    opt = engine.make_optimizer(cfg.training.learning_rate,
+                                grad_clip_norm=1.0)
+    step = engine.make_train_step(model, cfg, opt, class_weights("vg"),
+                                  use_pallas_pool=False)
+    state = engine.TrainState(params, opt.init(params), jnp.int32(0))
+
+    rng = np.random.default_rng(42)
+    batch = synthetic_batch(rng, batch_size=batch_size,
+                            max_objects=MAX_OBJECTS, feature_size=s,
+                            num_channels=cfg.model.num_img_feature,
+                            mean_objects=MEAN_OBJECTS)
+    images = rng.standard_normal(
+        (batch_size, IMAGE_SIZE, IMAGE_SIZE, 3)).astype(np.float32)
+    key = jax.random.PRNGKey(0)
+
+    def one_batch(st):
+        b = dict(batch)
+        # the reference encodes BOTH contrastive views every batch
+        # (reference train_test.py:152-154) — so do we here
+        b["features"] = encode(images)
+        b["features_aug"] = encode(images)
+        b = {k: jnp.asarray(v) for k, v in b.items()}
+        return step(st, b, key)        # donates st
+
+    state, metrics = one_batch(state)  # compile both programs
+    jax.block_until_ready(metrics["loss"])
+    cycles = []
+    for _ in range(n_batches):
+        t0 = time.monotonic()
+        state, metrics = one_batch(state)
+        jax.block_until_ready(metrics["loss"])
+        cycles.append(time.monotonic() - t0)
+    per_batch = statistics.median(cycles)
+    _update_out({
+        "ours_cpu_img_per_sec": round(batch_size / per_batch, 4),
+        "ours_cpu_sec_per_batch": round(per_batch, 2),
+        "ours_cpu_batch_cycles_sec": [round(c, 2) for c in cycles],
+        "ours_config": {
+            "batch_size": batch_size, "batches": n_batches,
+            "image_size": IMAGE_SIZE, "mean_objects": MEAN_OBJECTS,
+            "loop": "featurize (2 views, flax DETR) + jitted train step",
+        },
+    })
+
+
+def main():
+    global IMAGE_SIZE
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=["reference", "ours", "merge"])
+    ap.add_argument("--batches", type=int, default=4)
+    ap.add_argument("--batch-size", type=int, default=12)
+    ap.add_argument("--image-size", type=int, default=IMAGE_SIZE,
+                    help="smoke-test override; recorded runs use 1024")
+    a = ap.parse_args()
+    IMAGE_SIZE = a.image_size
+    if a.mode == "reference":
+        run_reference(a.batches, a.batch_size)
+    elif a.mode == "ours":
+        run_ours(a.batches, a.batch_size)
+    else:
+        _update_out({})
+
+
+if __name__ == "__main__":
+    main()
