@@ -63,22 +63,83 @@ def load_annotation(path: str) -> Optional[Dict]:
     return out
 
 
+_LUMA = np.array([0.2989, 0.587, 0.114], np.float32)   # ITU-R 601
+
+
+def _rgb_to_hsv(rgb: np.ndarray):
+    """Vectorized float RGB(0..1) -> (h, s, v), torchvision-tensor-path
+    semantics (colorsys math)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    maxc = rgb.max(axis=-1)
+    minc = rgb.min(axis=-1)
+    v = maxc
+    deltac = maxc - minc
+    s = np.where(maxc > 0, deltac / np.maximum(maxc, 1e-12), 0.0)
+    dc = np.where(deltac > 0, deltac, 1.0)
+    rc = (maxc - r) / dc
+    gc = (maxc - g) / dc
+    bc = (maxc - b) / dc
+    h = np.where(r == maxc, bc - gc,
+                 np.where(g == maxc, 2.0 + rc - bc, 4.0 + gc - rc))
+    h = np.where(deltac > 0, (h / 6.0) % 1.0, 0.0)
+    return h, s, v
+
+
+def _hsv_to_rgb(h: np.ndarray, s: np.ndarray, v: np.ndarray) -> np.ndarray:
+    i = np.floor(h * 6.0)
+    f = h * 6.0 - i
+    p = v * (1.0 - s)
+    q = v * (1.0 - s * f)
+    t = v * (1.0 - s * (1.0 - f))
+    i = i.astype(np.int32) % 6
+    conds = [i == k for k in range(6)]
+    r = np.select(conds, [v, q, p, p, t, v])
+    g = np.select(conds, [t, v, v, q, p, p])
+    b = np.select(conds, [p, p, t, v, v, q])
+    return np.stack([r, g, b], axis=-1)
+
+
+def adjust_hue(image: np.ndarray, hue_factor: float) -> np.ndarray:
+    """Hue rotation by `hue_factor` (fraction of the hue circle, in
+    [-0.5, 0.5]) on a float RGB image in 0..255 — the torchvision
+    `F.adjust_hue` tensor path, not a channel-roll approximation."""
+    h, s, v = _rgb_to_hsv(np.clip(image, 0, 255) / 255.0)
+    h = (h + hue_factor) % 1.0
+    return _hsv_to_rgb(h, s, v) * 255.0
+
+
 def color_jitter(rng: np.random.Generator, image: np.ndarray,
                  brightness=0.4, contrast=0.4, saturation=0.4,
                  hue=0.1, p=0.8) -> np.ndarray:
-    """Numpy color jitter (torchvision ColorJitter analogue for the
-    contrastive second view, reference dataloader.py:45-49)."""
+    """Numpy replica of the reference's contrastive second-view transform
+    RandomApply([ColorJitter(0.4, 0.4, 0.4, 0.1)], p=0.8) (reference
+    dataloader.py:45-49): the four adjustments run in a random order with
+    torchvision's blend semantics (brightness = blend with black, contrast
+    = blend with the mean luma, saturation = blend with per-pixel luma,
+    hue = HSV rotation)."""
     if rng.random() > p:
         return image
     img = image.astype(np.float32)
-    img = img * rng.uniform(1 - brightness, 1 + brightness)
-    mean = img.mean()
-    img = (img - mean) * rng.uniform(1 - contrast, 1 + contrast) + mean
-    gray = img.mean(axis=-1, keepdims=True)
-    img = (img - gray) * rng.uniform(1 - saturation, 1 + saturation) + gray
-    # cheap hue shift: rotate channels toward their mean
-    shift = rng.uniform(-hue, hue)
-    img = img + shift * (np.roll(img, 1, axis=-1) - img)
+
+    def adj_brightness(x):
+        return x * rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
+
+    def adj_contrast(x):
+        f = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
+        mean = (x @ _LUMA).mean()
+        return x * f + mean * (1.0 - f)
+
+    def adj_saturation(x):
+        f = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
+        gray = (x @ _LUMA)[..., None]
+        return x * f + gray * (1.0 - f)
+
+    def adj_hue(x):
+        return adjust_hue(x, rng.uniform(-hue, hue))
+
+    ops = [adj_brightness, adj_contrast, adj_saturation, adj_hue]
+    for k in rng.permutation(4):
+        img = ops[k](img)
     return np.clip(img, 0, 255)
 
 
