@@ -267,6 +267,10 @@ def make_train_step(model: RelationClassifier, cfg, optimizer,
         use_pallas_pool = jax.devices()[0].platform not in ("cpu", "gpu")
     capacity = cfg.pair_capacity
     weights = jnp.asarray(class_weights)
+    if cs_tables is not None:
+        # device-resident dense membership tables: indexing a host numpy
+        # array with a traced triplet id would fail under jit
+        cs_tables = tuple(jnp.asarray(t) for t in cs_tables)
     shards = 1 if mesh is None else mesh.shape["data"]
     local_capacity = max(capacity // shards, 1)
     faithful = cfg.training.faithful_dynamics

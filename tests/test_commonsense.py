@@ -179,9 +179,12 @@ def test_prepare_cs_end_to_end(tmp_path, rng):
     cfg_cs = cfg.replace(training=dataclasses.replace(
         cfg.training, run_mode="train_cs"))
     opt = engine.make_optimizer(1e-4)
+    # pass HOST numpy tables, exactly like the CLI path (train/loop.py
+    # hands artifacts.cs_aligned straight in): make_train_step must move
+    # them to device itself or the jitted triplet lookup fails
     step = engine.make_train_step(model, cfg_cs, opt, class_weights("vg"),
-                                  cs_tables=(jnp.asarray(aligned),
-                                             jnp.asarray(violated)),
+                                  cs_tables=(np.asarray(aligned),
+                                             np.asarray(violated)),
                                   donate=False)
     state = engine.TrainState(params, opt.init(params), jnp.int32(0))
     _, metrics = step(state, batches[0] | {
