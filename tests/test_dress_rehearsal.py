@@ -67,6 +67,9 @@ training:
   num_epoch: 3
   learning_rate: 0.003
   grad_clip_norm: 1.0
+  lambda_contrast: 0.0   # SupCon diverges on the tiny toy set and drowns
+                         # the relationship gradient; the contrastive path
+                         # has its own unit/parity coverage (test_losses)
   print_freq: 5
   eval_freq: 0
   test_epoch: 2

@@ -57,12 +57,21 @@ def scene(rng, num_objects, fs, num_classes=150, num_rel=50):
         row = np.full(i, -1, np.int64)
         direction = np.full(i, -1.0, np.float32)
         for j in range(i):
-            if rng.random() < 0.3:
-                # learnable grammar: predicate determined by the class
-                # pair (with a little noise)
-                row[j] = (int(cats[i]) * 7 + int(cats[j]) * 3
-                          + int(rng.integers(0, 2))) % num_rel
+            # only relate OVERLAPPING pairs: PredCLS eval drops pairs with
+            # zero joint-mask IoU (reference evaluate.py:149-156), so
+            # relations between disjoint boxes are unreachable by design
+            # and would cap attainable recall
+            overlap = (min(boxes[i, 1], boxes[j, 1])
+                       > max(boxes[i, 0], boxes[j, 0])
+                       and min(boxes[i, 3], boxes[j, 3])
+                       > max(boxes[i, 2], boxes[j, 2]))
+            if overlap and rng.random() < 0.6:
                 direction[j] = float(rng.integers(0, 2))
+                # learnable grammar: the predicate is a function of the
+                # SUBJECT's class alone, so the label-conditioned head can
+                # fit it through its class embeddings in a few SGD steps
+                sub_cat = cats[i] if direction[j] == 1.0 else cats[j]
+                row[j] = (int(sub_cat) * 7 + 3) % num_rel
         rel_rows.append(row)
         dir_rows.append(direction)
     return cats, boxes, rel_rows, dir_rows
