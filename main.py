@@ -246,8 +246,8 @@ def main():
                               if isinstance(v, (int, float, list))
                               and k != "recall_per_class"}, default=str))
         else:
-            # train_cs would need the commonsense penalty wired into the
-            # pnp loss; refuse loudly instead of silently dropping it
+            # prepare_cs collects triplets from the flagship PredCLS path;
+            # refuse loudly rather than silently running without --predictor
             sys.exit(f"--predictor does not support run_mode {run_mode}")
         return
     if run_mode in ("train", "train_cs"):
