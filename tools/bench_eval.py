@@ -4,9 +4,13 @@ Measures the serving-relevant configs of BASELINE.json at real model
 dimensions on synthetic inputs (bench.py keeps the single-line training
 headline; this tool reports the eval side):
 
-  * predcls  — relation eval step over precomputed features + GT objects
-  * detect   — full DETR-101 forward + static postprocess/NMS
-  * sgdet    — detect + relation eval chained (the full SGDET pipeline)
+  * predcls   — relation eval step over precomputed features + GT objects
+  * detect    — full DETR-101 forward + static postprocess/NMS
+  * sgdet     — detect + relation eval chained (the full SGDET pipeline)
+  * trainfull — featurize-INCLUDED training: both contrastive views through
+                the frozen DETR encoder every batch (what the reference does,
+                train_test.py:152-154) + the jitted train step.  bench.py's
+                headline is the features-cached config; this is the other one.
 
 Measurement note: on the axon TPU tunnel `jax.block_until_ready` does not
 actually block, so naive dispatch loops measure nothing.  Each metric runs
@@ -15,8 +19,10 @@ device serializes) at two lengths; the per-step time is the difference,
 which cancels the tunnel's fixed sync latency.  The training bench doesn't
 need this because its donated TrainState already forces serialization.
 
-Usage: python tools/bench_eval.py [predcls|detect|sgdet|all]
-Prints one JSON line per mode.
+Usage: python tools/bench_eval.py [predcls|detect|sgdet|trainfull|all]
+                                  [--out BENCH_EVAL_rNN.json]
+Prints one JSON line per mode; --out also records (merging into an
+existing file) so each round's eval-side numbers live next to BENCH_r*.json.
 """
 
 import json
@@ -52,11 +58,17 @@ def chained_rate(run_step, n_long: int = STEPS, n_short: int = SHORT):
     return (t_long - t_short) / (n_long - n_short)
 
 
-MODES = ("predcls", "detect", "sgdet", "all")
+MODES = ("predcls", "detect", "sgdet", "trainfull", "all")
 
 
 def main():
-    mode = sys.argv[1] if len(sys.argv) > 1 else "all"
+    argv = list(sys.argv[1:])
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        del argv[i:i + 2]
+    mode = argv[0] if argv else "all"
     if mode not in MODES:
         sys.exit(f"unknown mode {mode!r}; expected one of {MODES}")
     import jax
@@ -66,7 +78,7 @@ def main():
     from scene_graph_commonsense_tpu.config import derive
     from scene_graph_commonsense_tpu.data.synthetic import synthetic_batch
     from scene_graph_commonsense_tpu.eval import engines
-    from scene_graph_commonsense_tpu.models.detr import make_detr
+    from scene_graph_commonsense_tpu.models.detr import DETR, make_detr
     from scene_graph_commonsense_tpu.models.relation_head import (
         make_relation_classifier)
     from scene_graph_commonsense_tpu.train import engine as engine_lib
@@ -100,7 +112,7 @@ def main():
         dt = chained_rate(pc_step)
         results["predcls_eval"] = BATCH / dt
 
-    if mode in ("detect", "sgdet", "all"):
+    if mode in ("detect", "sgdet", "trainfull", "all"):
         detr = make_detr(cfg)
         detr_params = detr.init(jax.random.PRNGKey(0),
                                 jnp.zeros((1, 64, 64, 3)),
@@ -146,9 +158,65 @@ def main():
             dt = chained_rate(sgdet_step)
             results["sgdet_pipeline"] = BATCH / dt
 
+        if mode in ("trainfull", "all"):
+            # featurize-included training (reference train_test.py:152-154):
+            # encode BOTH contrastive views through the frozen DETR every
+            # batch, then run the full train step.  Donated TrainState
+            # serializes the chain (same honesty argument as bench.py); the
+            # last step depends on the last encode, so the final sync
+            # covers all featurize work too.
+            from scene_graph_commonsense_tpu.constants import class_weights
+            opt = engine_lib.make_optimizer(cfg.training.learning_rate,
+                                            grad_clip_norm=5.0)
+            tstep = engine_lib.make_train_step(model, cfg, opt,
+                                               class_weights("vg"),
+                                               use_pallas_pool=True)
+            tstate = engine_lib.TrainState(params, opt.init(params),
+                                           jnp.int32(0))
+            tbatch = {k: jnp.asarray(v) for k, v in synthetic_batch(
+                rng, batch_size=BATCH, max_objects=cfg.data.max_objects,
+                feature_size=s, num_channels=cfg.model.num_img_feature,
+                mean_objects=8.0).items()}
+            encode = jax.jit(lambda img: detr.apply(
+                detr_params, img, method=DETR.encode_features))
+            key2 = jax.random.PRNGKey(1)
+
+            def full_batch(st, i):
+                b = dict(tbatch)
+                img = dbatches[i % STEPS]
+                b["features"] = encode(img)
+                b["features_aug"] = encode(img)
+                return tstep(st, b, key2)      # donates st
+
+            for w in range(2):
+                tstate, tmetrics = full_batch(tstate, w)
+            jax.block_until_ready(tmetrics["loss"])
+            t0 = time.perf_counter()
+            for i in range(STEPS):
+                tstate, tmetrics = full_batch(tstate, i)
+            jax.block_until_ready(tmetrics["loss"])
+            results["train_featurize_included"] = \
+                BATCH * STEPS / (time.perf_counter() - t0)
+
     for k, v in results.items():
         print(json.dumps({"metric": f"{k}_images_per_sec_per_chip",
                           "value": round(v, 2), "unit": "img/s"}))
+    if out_path:
+        record = {
+            "device_kind": getattr(jax.devices()[0], "device_kind", ""),
+            "batch_size": BATCH,
+            "pair_capacity": 1024,
+            "image_size": cfg.model.image_size,
+            "unit": "img/s/chip",
+            "results": {k: round(v, 2) for k, v in results.items()},
+        }
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                prev = json.load(f).get("results", {})
+            record["results"] = {**prev, **record["results"]}
+        with open(out_path, "w") as f:
+            json.dump(record, f, indent=2)
+            f.write("\n")
 
 
 if __name__ == "__main__":
