@@ -1,7 +1,10 @@
-"""Capture a jax.profiler trace of the bench train step and print the
-top-k ops by self time (reads the perfetto trace.json.gz directly).
+"""Capture a jax.profiler trace of a hot program and print the top-k ops
+by self time (reads the perfetto trace.json.gz directly).
 
-Usage: python tools/profile_step.py [outdir]
+Programs: the bench train step (default), the frozen-DETR featurize path
+(`encode`), or the full detection forward (`detect`).
+
+Usage: python tools/profile_step.py [step|encode|detect] [outdir]
 """
 
 import glob
@@ -59,6 +62,54 @@ def run_trace(outdir: str):
         jax.block_until_ready(metrics["loss"])
 
 
+def run_trace_detr(outdir: str, detect: bool):
+    """Traces the frozen-DETR paths at bench shapes (batch 12, 1024²):
+    `encode` = the per-batch featurize cost of reference-config training
+    (train_utils.py:9-18); `detect` = the full SGDET detection forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from scene_graph_commonsense_tpu.config import derive
+    from scene_graph_commonsense_tpu.eval import engines
+    from scene_graph_commonsense_tpu.models.detr import DETR, make_detr
+
+    import bench
+
+    cfg = derive("vg", hierarchical_pred=True)
+    detr = make_detr(cfg)
+    detr_params = detr.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, 64, 64, 3)), None)
+    size = cfg.model.image_size
+    img = jax.random.normal(jax.random.PRNGKey(1),
+                            (bench.BATCH_SIZE, size, size, 3), jnp.float32)
+    if detect:
+        mask = jnp.ones((bench.BATCH_SIZE, size, size), bool)
+        fn = engines.make_detr_detect_fn(cfg, detr, detr_params,
+                                         image_key="image_nonsq")
+        run = lambda: fn({"image_nonsq": img, "pixel_mask": mask})["boxes"]
+    else:
+        enc = jax.jit(lambda x: detr.apply(detr_params, x,
+                                           method=DETR.encode_features))
+        run = lambda: enc(img)
+
+    jax.block_until_ready(run())
+    with jax.profiler.trace(outdir):
+        out = [run() for _ in range(3)]
+        jax.block_until_ready(out)
+    try:
+        target = (jax.jit(lambda x: detr.apply(
+            detr_params, x, method=DETR.encode_features)) if not detect
+            else None)
+        if target is not None:
+            cost = target.lower(img).compile().cost_analysis()
+            flops = (cost or {}).get("flops", 0.0)
+            if flops:
+                print(f"encode cost-analysis: {flops/1e12:.2f} TFLOP "
+                      f"per batch of {bench.BATCH_SIZE}")
+    except Exception:
+        pass
+
+
 def summarize(outdir: str, top: int = 30):
     paths = sorted(glob.glob(f"{outdir}/**/*.trace.json.gz",
                              recursive=True))
@@ -93,6 +144,12 @@ def summarize(outdir: str, top: int = 30):
 
 
 if __name__ == "__main__":
-    out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sgc_trace"
-    run_trace(out)
+    argv = sys.argv[1:]
+    mode = argv.pop(0) if argv and argv[0] in ("step", "encode",
+                                               "detect") else "step"
+    out = argv[0] if argv else f"/tmp/sgc_trace_{mode}"
+    if mode == "step":
+        run_trace(out)
+    else:
+        run_trace_detr(out, detect=(mode == "detect"))
     summarize(out)
