@@ -125,7 +125,9 @@ def real_batches(cfg, training: bool):
         from scene_graph_commonsense_tpu.data.oiv6 import (
             OIV6Dataset, oiv6_batches)
         ds = OIV6Dataset(cfg, annot, training=training,
-                         image_dir=cfg.data.image_dir, load_images=True)
+                         image_dir=cfg.data.image_dir,
+                         depth_dir=cfg.data.depth_dir or None,
+                         load_images=True)
 
         def gen(epoch=0):
             return oiv6_batches(ds, cfg.training.batch_size, seed=epoch,

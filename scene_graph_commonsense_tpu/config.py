@@ -40,6 +40,10 @@ class DataConfig:
     # Optional cache of frozen-DETR feature maps (one *_features.npz per
     # image, tools/precompute_features.py); empty = encode per batch.
     features_dir: str = ""
+    # OIv6 precomputed depth maps (one <img_fn>_depth.npz per image,
+    # tools/prepare_depth_oiv6.py — reference dataset_utils.py:203-228);
+    # empty = zero depth.  VG bakes depth into its annotation npz instead.
+    depth_dir: str = ""
     area_frac_thresh: float = 0.002
     percent_train: float = 1.0
     percent_test: float = 1.0

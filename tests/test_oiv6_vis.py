@@ -153,3 +153,66 @@ def test_oiv6_features_dir_cache(tmp_path):
     ds2 = OIV6Dataset(cfg, path, training=False)
     assert not ds2.use_feature_cache
     assert "features" not in ds2.get_example(1)
+
+
+def test_prepare_depth_oiv6(tmp_path):
+    """Offline OIv6 depth prep writes the per-image artifact OIV6Dataset
+    consumes, resumes past existing outputs, and skips missing images
+    (reference dataset_utils.py:203-228)."""
+    import sys
+    sys.path.insert(0, "tools")
+    from prepare_depth_oiv6 import prepare_depth
+    from scene_graph_commonsense_tpu.data.depth import normalize_depth
+
+    annot = make_oiv6_fixture(tmp_path)
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    from PIL import Image
+    for i in range(2):                       # img2 deliberately missing
+        Image.fromarray(np.full((20, 10, 3), 40 * (i + 1), np.uint8)) \
+            .save(img_dir / f"img{i}.jpg")
+
+    def fake_depth(image):
+        # image-dependent raw prediction at native resolution
+        return normalize_depth(
+            np.tile(np.linspace(0, image.mean(), image.shape[1],
+                                dtype=np.float32), (image.shape[0], 1)))
+
+    out = tmp_path / "depth"
+    stats = prepare_depth(annot, str(img_dir), str(out),
+                          depth_fn=fake_depth, log_fn=lambda *a: None)
+    assert stats == {"written": 2, "skipped": 0, "missing": 1}
+
+    # resume: nothing rewritten, the missing image still retried
+    stats2 = prepare_depth(annot, str(img_dir), str(out),
+                           depth_fn=fake_depth, log_fn=lambda *a: None)
+    assert stats2 == {"written": 0, "skipped": 2, "missing": 1}
+
+    d0 = np.load(out / "img0_depth.npz")["depth"]
+    assert d0.shape == (32, 32) and 0 <= d0.min() and d0.max() <= 1.0
+
+    # the dataset picks the artifact up
+    cfg = derive("oiv6", data={"max_objects": 6})
+    assert cfg.model.use_depth
+    ds = OIV6Dataset(cfg, annot, training=False, depth_dir=str(out))
+    ex = ds.get_example(0)
+    np.testing.assert_allclose(ex["depth"].reshape(32, 32), d0)
+    # img2 has no artifact -> zero depth, not a crash
+    assert ds.get_example(2)["depth"].sum() == 0.0
+
+    # zero-depth fallback path (depth_fn=None) needs no images at all
+    out2 = tmp_path / "depth0"
+    stats3 = prepare_depth(annot, str(tmp_path / "nowhere"), str(out2),
+                           depth_fn=None, log_fn=lambda *a: None)
+    assert stats3["written"] == 3
+    assert np.load(out2 / "img2_depth.npz")["depth"].sum() == 0.0
+
+    # CLI wiring: real_batches honors cfg.data.depth_dir
+    import main as cli
+    cfg2 = derive("oiv6", data={
+        "max_objects": 6, "depth_dir": str(out),
+        "image_dir": str(img_dir),
+        "annotation_test": annot, "annotation_train": annot})
+    gen = cli.real_batches(cfg2, training=False)
+    batch = next(gen())
+    assert abs(float(batch["depth"].sum())) > 0.0
