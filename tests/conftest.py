@@ -38,6 +38,7 @@ _SLOW_BY_MEASURED_DURATION = {
     "test_sharded_detect_fn_matches_single_device",               # 113s
     "test_train_overfits_tiny_batch",                             # 70s
     "test_detr_featurize_fn",                                     # 69s
+    "test_prepare_depth_oiv6",                # 84s (CLI wiring drive)
     "test_factored_equals_reference_math_hierarchical",           # 69s
     "test_detr_shapes",                                           # 66s
     "test_checkpoint_restore",                                    # 66s
