@@ -97,6 +97,9 @@ WARMUP = 3
 def main():
     import jax
     import jax.numpy as jnp
+    from scene_graph_commonsense_tpu.utils.jax_cache import (
+        enable_compile_cache)
+    enable_compile_cache()
 
     from scene_graph_commonsense_tpu.config import derive
     from scene_graph_commonsense_tpu.constants import class_weights

@@ -180,6 +180,9 @@ def main():
 
     import jax
     from scene_graph_commonsense_tpu.data.artifacts import load_vg_artifacts
+    from scene_graph_commonsense_tpu.utils.jax_cache import (
+        enable_compile_cache)
+    enable_compile_cache()
     from scene_graph_commonsense_tpu.models.relation_head import (
         make_relation_classifier)
     from scene_graph_commonsense_tpu.parallel.mesh import make_mesh

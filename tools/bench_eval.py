@@ -74,6 +74,9 @@ def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
+    from scene_graph_commonsense_tpu.utils.jax_cache import (
+        enable_compile_cache)
+    enable_compile_cache()
 
     from scene_graph_commonsense_tpu.config import derive
     from scene_graph_commonsense_tpu.data.synthetic import synthetic_batch

@@ -41,6 +41,9 @@ def main():
     from scene_graph_commonsense_tpu.data.dataset import (
         VGDataset, batches_from_dataset)
     from scene_graph_commonsense_tpu.train.loop import load_detr_featurizer
+    from scene_graph_commonsense_tpu.utils.jax_cache import (
+        enable_compile_cache)
+    enable_compile_cache()
 
     cfg = load_config(args.config)
     annot = (cfg.data.annotation_train if args.split == "train"

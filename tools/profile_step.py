@@ -20,6 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 def run_trace(outdir: str):
     import jax
+    from scene_graph_commonsense_tpu.utils.jax_cache import (
+        enable_compile_cache)
+    enable_compile_cache()
     import jax.numpy as jnp
     import numpy as np
 
@@ -67,6 +70,9 @@ def run_trace_detr(outdir: str, detect: bool):
     `encode` = the per-batch featurize cost of reference-config training
     (train_utils.py:9-18); `detect` = the full SGDET detection forward."""
     import jax
+    from scene_graph_commonsense_tpu.utils.jax_cache import (
+        enable_compile_cache)
+    enable_compile_cache()
     import jax.numpy as jnp
 
     from scene_graph_commonsense_tpu.config import derive
