@@ -115,7 +115,47 @@ def synthetic_batches(cfg, n_batches, seed=0, with_aug=True):
     return gen
 
 
+def native_batches(cfg):
+    """Eval-style batch source assembled by the C++ packer: SGRC records
+    (cfg.data.sgrc_dir) + the precomputed feature cache.  Records carry no
+    pixels, so training (which needs the contrastive image view) and the
+    sgc/sgd detection modes stay on the Python loader."""
+    import glob as _glob
+    from scene_graph_commonsense_tpu.data.pipeline import (
+        NativeRecordPipeline)
+    if not cfg.data.features_dir:
+        sys.exit("data.sgrc_dir requires data.features_dir: SGRC records "
+                 "carry annotations only (tools/precompute_features.py)")
+    paths = sorted(_glob.glob(os.path.join(cfg.data.sgrc_dir, "*.sgrec")))
+    if not paths:
+        sys.exit(f"no .sgrec records under {cfg.data.sgrc_dir}; run "
+                 f"tools/preprocess_vg.py --stage sgrecords")
+    paths = paths[:max(1, int(cfg.data.percent_test * len(paths)))]
+    pipe = NativeRecordPipeline(
+        paths, cfg.training.batch_size,
+        max_objects=cfg.data.max_objects,
+        feature_size=cfg.model.feature_size, shuffle=False)
+
+    def attach_features(batch):
+        feats = []
+        for p in batch["annot_path"]:
+            name = os.path.splitext(os.path.basename(p))[0]
+            fp = os.path.join(cfg.data.features_dir,
+                              name + "_features.npz")
+            feats.append(np.load(fp)["features"].astype(np.float32))
+        batch["features"] = np.stack(feats)
+        return batch
+
+    def gen(epoch=0):
+        return map(attach_features, iter(pipe))
+
+    return gen
+
+
 def real_batches(cfg, training: bool):
+    if (cfg.data.sgrc_dir and cfg.data.dataset == "vg" and not training
+            and cfg.training.eval_mode == "pc"):
+        return native_batches(cfg)
     annot = (cfg.data.annotation_train if training
              else cfg.data.annotation_test)
     if not os.path.exists(annot):

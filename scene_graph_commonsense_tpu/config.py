@@ -44,6 +44,11 @@ class DataConfig:
     # tools/prepare_depth_oiv6.py — reference dataset_utils.py:203-228);
     # empty = zero depth.  VG bakes depth into its annotation npz instead.
     depth_dir: str = ""
+    # SGRC binary records for the C++ batch packer (tools/preprocess_vg.py
+    # --stage sgrecords).  When set (VG, eval-style runs, features_dir
+    # required), batches are assembled by the native thread-pool packer
+    # (data/pipeline.NativeRecordPipeline) instead of the Python loader.
+    sgrc_dir: str = ""
     area_frac_thresh: float = 0.002
     percent_train: float = 1.0
     percent_test: float = 1.0

@@ -63,6 +63,19 @@ def load_annotation(path: str) -> Optional[Dict]:
     return out
 
 
+def remap_lower_relationships(relationships, rel_map: np.ndarray):
+    """Raw lower-triangular relation rows -> trained predicate ids: the
+    'wears'(12)->'wearing'(4) merge, then the frequency->cluster
+    permutation (reference dataloader.py:144-147).  Shared by the dataset
+    loader and the SGRC record writer so records bake in the same ids."""
+    rels = []
+    for row in relationships:
+        row = np.asarray(row, np.int64).copy()
+        row[row == 12] = 4
+        rels.append(np.where(row >= 0, rel_map[np.clip(row, 0, 49)], -1))
+    return rels
+
+
 _LUMA = np.array([0.2989, 0.587, 0.114], np.float32)   # ITU-R 601
 
 
@@ -238,13 +251,7 @@ class VGDataset:
         boxes = np.asarray(rec["bbox"], np.float32)   # (n, 4) canonical
 
         # predicate merge + reorder (reference dataloader.py:144-147)
-        rels = []
-        for row in rec["relationships"]:
-            row = np.asarray(row, np.int64).copy()
-            row[row == 12] = 4
-            reordered = np.where(row >= 0, self.rel_map[np.clip(row, 0, 49)],
-                                 -1)
-            rels.append(reordered)
+        rels = remap_lower_relationships(rec["relationships"], self.rel_map)
         rel = directed_rel_from_lower(rels, rec["subj_or_obj"], n, n_max)
 
         # reference-faithful encoding ({first, last} supercat only, see

@@ -97,12 +97,16 @@ class NativeRecordPipeline:
                 out = self.packer.pack(chunk)
                 for k in range(len(chunk)):
                     if out["ok"][k]:
-                        buf.append({key: out[key][k] for key in
-                                    ("cats", "boxes", "rel", "valid",
-                                     "super_mh", "depth")})
+                        ex = {key: out[key][k] for key in
+                              ("cats", "boxes", "rel", "valid",
+                               "super_mh", "depth")}
+                        ex["annot_path"] = chunk[k]
+                        buf.append(ex)
             if len(buf) >= self.batch_size:
                 batch = {k: np.stack([ex[k] for ex in buf[:self.batch_size]])
-                         for k in buf[0]}
+                         for k in buf[0] if k != "annot_path"}
+                batch["annot_path"] = [ex["annot_path"]
+                                       for ex in buf[:self.batch_size]]
                 buf = buf[self.batch_size:]
                 yield batch
             else:

@@ -1,5 +1,6 @@
 """Prefetching pipeline, native record pipeline, and the serving API."""
 
+import json
 import sys
 
 import numpy as np
@@ -101,3 +102,84 @@ def test_scene_graph_predictor_with_validator(rng):
         kept = {(e["subject_id"], e["relation_id"], e["object_id"],
                  e["confidence"]) for e in f}
         assert not (top5 & kept)
+
+
+def test_sgrecords_native_path_matches_python_loader(tmp_path, rng):
+    """tools/preprocess_vg.py --stage sgrecords + the C++ packer CLI path
+    (main.native_batches) must reproduce the Python loader's batches
+    exactly: same predicate merge/permutation, super-category multi-hot,
+    padding, and attached cached features."""
+    import argparse
+    import os
+
+    from scene_graph_commonsense_tpu.data.native import build_library
+    if build_library() is None:
+        pytest.skip("g++ unavailable")
+
+    sys.path.insert(0, "tools")
+    import main as cli
+    from preprocess_vg import stage_sgrecords
+    from scene_graph_commonsense_tpu.config import derive
+    from scene_graph_commonsense_tpu.data.dataset import (
+        VGDataset, batches_from_dataset)
+
+    s = 32
+    annot_dir = tmp_path / "annot"
+    feat_dir = tmp_path / "features"
+    annot_dir.mkdir(), feat_dir.mkdir()
+    images = []
+    for i in range(5):
+        n = int(rng.integers(2, 7))
+        rels, dirs = [], []
+        for j in range(1, n):
+            row = rng.integers(-1, 50, j).astype(np.int64)
+            row[0] = 12 if j == 1 else row[0]   # exercise the wears merge
+            d = np.where(row >= 0, rng.integers(0, 2, j).astype(np.float64),
+                         -1.0)
+            rels.append(row), dirs.append(d)
+        np.savez(annot_dir / f"img{i:03d}_annotations.npz",
+                 image_depth=rng.random((1, s, s)).astype(np.float32),
+                 categories=rng.integers(0, 150, n),
+                 bbox=np.sort(rng.integers(0, s, (n, 2, 2)), axis=-1)
+                 .transpose(0, 2, 1).reshape(n, 4).astype(np.float32),
+                 relationships=np.array(rels, dtype=object),
+                 subj_or_obj=np.array(dirs, dtype=object),
+                 super_categories=np.array(
+                     [rng.integers(0, 17, int(rng.integers(1, 4)))
+                      for _ in range(n)], dtype=object))
+        np.savez(feat_dir / f"img{i:03d}_features.npz",
+                 features=rng.random((s, s, 4)).astype(np.float32))
+        images.append({"file_name": f"img{i:03d}.jpg"})
+    instances = tmp_path / "instances_test.json"
+    instances.write_text(json.dumps({"images": images}))
+
+    cfg = derive("vg", data={
+        "annot_dir": str(annot_dir), "features_dir": str(feat_dir),
+        "annotation_test": str(instances),
+        "sgrc_dir": str(tmp_path / "sgrc")},
+        training={"batch_size": 2, "eval_mode": "pc"})
+    wrote = stage_sgrecords(
+        argparse.Namespace(split="test", out=str(tmp_path / "sgrc")),
+        cfg, log_fn=lambda *a: None)
+    assert wrote == 5
+
+    native = list(cli.native_batches(cfg)())
+    ds = VGDataset(cfg, {"images": images}, training=False,
+                   load_images=False)
+    python_b = list(batches_from_dataset(ds, 2, shuffle=False))
+    assert len(native) == len(python_b) == 2
+    for nb, pb in zip(native, python_b):
+        assert set(nb) == set(pb)
+        for k in pb:
+            if k == "annot_path":
+                want = [os.path.basename(p).split("_")[0].split(".")[0]
+                        for p in pb[k]]
+                got = [os.path.basename(p).split(".")[0] for p in nb[k]]
+                assert got == want
+            else:
+                np.testing.assert_array_equal(
+                    np.asarray(nb[k]), np.asarray(pb[k]), err_msg=k)
+
+    # real_batches dispatches to the native path for PredCLS eval
+    assert cli.real_batches(cfg, training=False).__qualname__ \
+        == cli.native_batches(cfg).__qualname__

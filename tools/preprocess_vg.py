@@ -4,6 +4,8 @@ Pipeline (reference preprocess.py + prepare_datasets.py):
   1. raw VG JSONs -> instances_vg_{train,test}.json  (--stage instances)
   2. instances json -> per-image annotation cache    (--stage annotations)
   3. train/test/zero-shot triplet tables             (--stage triplets)
+  4. annotation cache -> SGRC binary records for the C++ batch packer
+     (--stage sgrecords; consumed via data.sgrc_dir + data/pipeline.py)
 
 Usage:
   python tools/preprocess_vg.py --stage instances \
@@ -11,6 +13,8 @@ Usage:
   python tools/preprocess_vg.py --stage annotations \
       --split train --with_depth
   python tools/preprocess_vg.py --stage triplets
+  python tools/preprocess_vg.py --stage sgrecords --split test \
+      --out datasets/vg_sgrc_test --cluster motif
 """
 
 import argparse
@@ -121,14 +125,70 @@ def stage_triplets(args, cfg):
     print(f"wrote {path}")
 
 
+def stage_sgrecords(args, cfg, log_fn=print):
+    """Per-image annotations -> SGRC binary records for the C++ batch
+    packer (data/native).  Records bake in the wears-merge + cluster
+    permutation (data/dataset.remap_lower_relationships) and the
+    reference-faithful super-category multi-hot, so they are specific to
+    --cluster — keep one record dir per clustering.  Returns the number
+    of records written."""
+    from scene_graph_commonsense_tpu.data.artifacts import super_multi_hot
+    from scene_graph_commonsense_tpu.data.dataset import (
+        load_annotation, remap_lower_relationships)
+    from scene_graph_commonsense_tpu.data.native import write_sgrec
+
+    annot = (cfg.data.annotation_train if args.split == "train"
+             else cfg.data.annotation_test)
+    with open(annot) as f:
+        images = json.load(f)["images"]
+    rel_map = rel_index_map(cfg.data.supcat_clustering)
+    out_dir = args.out
+    os.makedirs(out_dir, exist_ok=True)
+    n_max = cfg.data.max_objects
+    written = skipped = 0
+    for img in images:
+        name = os.path.splitext(img["file_name"])[0]
+        rec = load_annotation(os.path.join(
+            cfg.data.annot_dir, name + "_annotations.pkl"))
+        if rec is None:
+            rec = load_annotation(os.path.join(
+                cfg.data.annot_dir, name + "_annotations.npz"))
+        if rec is None:
+            skipped += 1
+            continue
+        n = len(rec["categories"])
+        if n <= 1 or n > n_max:        # reference dataloader.py:119
+            skipped += 1
+            continue
+        rels = remap_lower_relationships(rec["relationships"], rel_map)
+        super_mh = np.zeros((n, 17), np.uint8)
+        if "super_categories" in rec:
+            scs = [np.asarray(s).reshape(-1)
+                   for s in rec["super_categories"]]
+            super_mh = super_multi_hot(scs).astype(np.uint8)
+        write_sgrec(os.path.join(out_dir, name + ".sgrec"),
+                    np.asarray(rec["categories"], np.int32),
+                    np.asarray(rec["bbox"], np.float32),
+                    super_mh, rels, rec["subj_or_obj"],
+                    np.asarray(rec["image_depth"], np.float32),
+                    feature_size=cfg.model.feature_size)
+        written += 1
+    log_fn(f"wrote {written} SGRC records under {out_dir} "
+           f"({skipped} images skipped)")
+    return written
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", required=True,
-                    choices=["instances", "annotations", "triplets"])
+                    choices=["instances", "annotations", "triplets",
+                             "sgrecords"])
     ap.add_argument("--raw_dir", default="datasets/vg/annotations")
     ap.add_argument("--h5", default="datasets/vg/VG-SGG-with-attri.h5")
     ap.add_argument("--split", default="train", choices=["train", "test"])
     ap.add_argument("--with_depth", action="store_true")
+    ap.add_argument("--out", default="datasets/vg_sgrc",
+                    help="output dir for --stage sgrecords")
     ap.add_argument("--cluster", default="motif",
                     choices=["motif", "gpt2", "bert", "clip"],
                     help="predicate order for the triplet tables (must "
@@ -139,6 +199,8 @@ def main():
         stage_instances(args, cfg)
     elif args.stage == "annotations":
         stage_annotations(args, cfg)
+    elif args.stage == "sgrecords":
+        stage_sgrecords(args, cfg)
     else:
         stage_triplets(args, cfg)
 
