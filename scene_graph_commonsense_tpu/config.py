@@ -83,6 +83,11 @@ class ModelConfig:
     # Compute dtype for the relation trunk ('float32' for parity tests,
     # 'bfloat16' for production throughput; params stay float32).
     compute_dtype: str = "bfloat16"
+    # Fused Pallas bottleneck path for the frozen ResNet trunk
+    # ('auto' = on for single-device TPU, 'on', 'off').  See
+    # models/resnet_fused.py; GSPMD-sharded multi-chip eval keeps the
+    # plain XLA path until the kernel is wrapped in shard_map.
+    fused_backbone: str = "auto"
     detr_pretrained: str = "checkpoints/detr101_vg.msgpack"
 
 

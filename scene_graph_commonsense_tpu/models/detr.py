@@ -284,6 +284,9 @@ class DETR(nn.Module):
     backbone_blocks: Tuple[int, int, int, int] = (3, 4, 23, 3)
     dim_ff: int = 2048
     dtype: Any = jnp.float32
+    # Route the frozen trunk through the fused Pallas bottleneck kernel
+    # (ops/pallas/bottleneck.py) — same param tree, forward-only.
+    fused_backbone: bool = False
 
     def setup(self):
         self.backbone = ResNet101(dtype=self.dtype,
@@ -313,7 +316,13 @@ class DETR(nn.Module):
     def _encode(self, images: jnp.ndarray,
                 pixel_mask: Optional[jnp.ndarray]):
         """images: (B, H, W, 3); pixel_mask: (B, H, W) True = real pixels."""
-        feat = self.backbone(images.astype(self.dtype))
+        if self.fused_backbone and not self.is_initializing():
+            from .resnet_fused import resnet_forward_fused
+            feat = resnet_forward_fused(
+                self.backbone.variables["params"], images.astype(self.dtype),
+                blocks=self.backbone_blocks, dtype=self.dtype)
+        else:
+            feat = self.backbone(images.astype(self.dtype))
         b, h, w, _ = feat.shape
         if pixel_mask is None:
             fmask = jnp.ones((b, h, w), bool)
@@ -364,4 +373,9 @@ class DETR(nn.Module):
 
 def make_detr(cfg) -> DETR:
     num = 151 if cfg.data.dataset == "vg" else 602
-    return DETR(num_classes=num, dtype=jnp.dtype(cfg.model.compute_dtype))
+    mode = getattr(cfg.model, "fused_backbone", "auto")
+    fused = mode == "on" or (mode == "auto"
+                             and jax.default_backend() == "tpu"
+                             and jax.device_count() == 1)
+    return DETR(num_classes=num, dtype=jnp.dtype(cfg.model.compute_dtype),
+                fused_backbone=fused)
