@@ -19,7 +19,9 @@ from typing import Any, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..ops.pallas.bottleneck import fold_bn, fused_bottleneck
+from ..ops.pallas.bottleneck import (fold_bn, fused_bottleneck,
+                                     fused_bottleneck_s2)
+from ..ops.pallas.stem import stem_pool
 
 
 def _conv(x, kernel, stride: int, padding: int, dtype):
@@ -83,18 +85,34 @@ def resnet_forward_fused(params, images: jnp.ndarray, *,
         x = _conv(x, params["conv1"]["kernel"], 2, 3, dtype)
     else:
         x = _space_to_depth_conv1(x, params["conv1"]["kernel"], dtype)
-    x = jax.nn.relu(_bn(x, fold_bn(params["bn1"])))
-    x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                constant_values=-jnp.inf)
-    x = jax.lax.reduce_window(
-        x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
-        [(0, 0)] * 4)
+    if x.shape[1] % 2 or x.shape[2] % 2:
+        x = jax.nn.relu(_bn(x, fold_bn(params["bn1"])))
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=-jnp.inf)
+        x = jax.lax.reduce_window(
+            x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+            [(0, 0)] * 4)
+    else:
+        x = stem_pool(x, fold_bn(params["bn1"]), interpret=interpret)
     for stage, (planes, nblocks, stride) in enumerate(
             zip((64, 128, 256, 512), blocks, (1, 2, 2, 2))):
         for i in range(nblocks):
             p = params[f"layer{stage + 1}_{i}"]
             if i == 0 and stride != 1:
-                x = _xla_bottleneck(p, x, stride, True, dtype)
+                if x.shape[1] % 2 or x.shape[2] % 2:
+                    x = _xla_bottleneck(p, x, stride, True, dtype)
+                else:
+                    x = fused_bottleneck_s2(
+                        x,
+                        p["conv1"]["kernel"][0, 0].astype(x.dtype),
+                        fold_bn(p["bn1"]),
+                        p["conv2"]["kernel"].astype(x.dtype),
+                        fold_bn(p["bn2"]),
+                        p["conv3"]["kernel"][0, 0].astype(x.dtype),
+                        fold_bn(p["bn3"]),
+                        p["downsample_conv"]["kernel"][0, 0].astype(x.dtype),
+                        fold_bn(p["downsample_bn"]),
+                        interpret=interpret)
             else:
                 x = _fused_block(p, x, downsample=(i == 0),
                                  interpret=interpret)

@@ -94,12 +94,20 @@ def _kernel(x_ref, xp_ref, xn_ref, w1_ref, w2_ref, w3_ref, s1_ref, s2_ref,
     def _():                                         # bottom image border
         a_h[r + 1] = jnp.zeros((w + 2, m), cd)
 
-    acc = jnp.zeros((r * w, m), jnp.float32)
-    for dy in range(3):
-        rows3 = a_h[dy:dy + r]                       # (R, W+2, M)
-        for dx in range(3):
-            av = jax.lax.slice_in_dim(rows3, dx, dx + w, axis=1)
-            acc = acc + jnp.dot(av.reshape(r * w, m), w2_ref[dy, dx],
+    slices = [jax.lax.slice_in_dim(a_h[dy:dy + r], dx, dx + w, axis=1)
+              .reshape(r * w, m)
+              for dy in range(3) for dx in range(3)]
+    if m < 128:
+        # small stage-1 channels: one K=9M dot keeps the MXU contraction
+        # lanes full instead of nine K=M (quarter-utilized) passes;
+        # w2_ref arrives pre-flattened as (9M, M)
+        acc = jnp.dot(jnp.concatenate(slices, axis=-1),
+                      w2_ref[:].reshape(9 * m, m),
+                      preferred_element_type=jnp.float32)
+    else:
+        acc = jnp.zeros((r * w, m), jnp.float32)
+        for k, av in enumerate(slices):
+            acc = acc + jnp.dot(av, w2_ref[k // 3, k % 3],
                                 preferred_element_type=jnp.float32)
     b = jnp.maximum(acc * s2_ref[0] + s2_ref[1], 0.0).astype(cd)
 
@@ -112,6 +120,121 @@ def _kernel(x_ref, xp_ref, xn_ref, w1_ref, w2_ref, w3_ref, s1_ref, s2_ref,
         idn = x2d.astype(jnp.float32)
     y = jnp.maximum(c + idn, 0.0).astype(cd)
     o_ref[0] = y.reshape(r, w, y.shape[-1])
+
+
+def _kernel_s2(x_ref, xt_ref, w1_ref, w2_ref, w3_ref, wd_ref, s1_ref,
+               s2_ref, s3_ref, sd_ref, o_ref, *, rows: int, wout: int,
+               cmid: int):
+    """Stride-2 transition block on column-pair-packed input.
+
+    x_ref: (1, 2R, Wp, 2C) — input rows [2iR, 2iR+2R), columns packed in
+    pairs (lane halves = even/odd column).  xt_ref: 1-row top halo
+    (input row 2iR-1).  Row parity split makes the three dy taps
+    contiguous row slices; column taps are aligned lane-half selects of
+    the packed layout plus one leading zero column.  Output rows u take
+    input rows 2u-1..2u+1, so no bottom halo is needed.
+    """
+    r, wp, m = rows, wout, cmid
+    i = pl.program_id(1)
+    c2 = x_ref.shape[-1]
+    cin = c2 // 2
+    cd = x_ref.dtype
+
+    def conv1(v):                                    # (N, Wp, 2C) -> packed a
+        n = v.shape[0]
+        ve = v[..., :cin].reshape(n * wp, cin)
+        vo = v[..., cin:].reshape(n * wp, cin)
+        both = jnp.concatenate([ve, vo], axis=0)
+        a = jnp.dot(both, w1_ref[:], preferred_element_type=jnp.float32)
+        a = jnp.maximum(a * s1_ref[0] + s1_ref[1], 0.0).astype(cd)
+        return jnp.concatenate([a[:n * wp].reshape(n, wp, m),
+                                a[n * wp:].reshape(n, wp, m)], axis=-1)
+
+    xb = x_ref[0].reshape(r, 2, wp, c2)
+    x_od = xb[:, 0]                                  # local t = 2u+1 (r rows)
+    top = xt_ref[0]                                  # (1, Wp, 2C), t = 0
+    x_ev = jnp.concatenate([top, xb[:, 1]], axis=0)  # t = 0,2,..,2R (R+1)
+    a_ev = conv1(x_ev)                               # (R+1, Wp, 2M)
+    # row -1 is conv2's ZERO padding — zero a (not x: conv1(0) = relu(b1))
+    row0 = jax.lax.broadcasted_iota(jnp.int32, a_ev.shape, 0) == 0
+    a_ev = jnp.where(jnp.logical_and(row0, i == 0),
+                     jnp.zeros_like(a_ev), a_ev)
+    a_ev = jnp.pad(a_ev, ((0, 0), (1, 0), (0, 0)))          # (R+1, Wp+1, 2M)
+    a_od = jnp.pad(conv1(x_od), ((0, 0), (1, 0), (0, 0)))   # (R,   Wp+1, 2M)
+
+    acc = jnp.zeros((r * wp, m), jnp.float32)
+    taps = ((a_ev[0:r], 0), (a_od, 1), (a_ev[1:r + 1], 2))
+    for rows3, dy in taps:
+        cols = ((jax.lax.slice_in_dim(rows3, 0, wp, axis=1)[..., m:], 0),
+                (jax.lax.slice_in_dim(rows3, 1, wp + 1, axis=1)[..., :m], 1),
+                (jax.lax.slice_in_dim(rows3, 1, wp + 1, axis=1)[..., m:], 2))
+        for av, dx in cols:
+            acc = acc + jnp.dot(av.reshape(r * wp, m), w2_ref[dy, dx],
+                                preferred_element_type=jnp.float32)
+    b = jnp.maximum(acc * s2_ref[0] + s2_ref[1], 0.0).astype(cd)
+    c = jnp.dot(b, w3_ref[:], preferred_element_type=jnp.float32)
+    c = c * s3_ref[0] + s3_ref[1]
+    idn = jnp.dot(x_od[..., :cin].reshape(r * wp, cin), wd_ref[:],
+                  preferred_element_type=jnp.float32)
+    idn = idn * sd_ref[0] + sd_ref[1]
+    y = jnp.maximum(c + idn, 0.0).astype(cd)
+    o_ref[0] = y.reshape(r, wp, y.shape[-1])
+
+
+def fused_bottleneck_s2(x: jnp.ndarray,
+                        w1: jnp.ndarray, s1: jnp.ndarray,
+                        w2: jnp.ndarray, s2: jnp.ndarray,
+                        w3: jnp.ndarray, s3: jnp.ndarray,
+                        wd: jnp.ndarray, sd: jnp.ndarray,
+                        *, interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Stride-2 downsampling bottleneck (the three ResNet-101 stage
+    transitions), fused.  x: (B, H, W, C) -> (B, H/2, W/2, CO)."""
+    b, h, w, cin = x.shape
+    m = w1.shape[1]
+    co = w3.shape[1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    wbytes = 2 * (w1.size + w2.size + w3.size + wd.size)
+    wp = w // 2
+    r = 1
+    for cand in (16, 8, 4, 2):
+        if (h // 2) % cand:
+            continue
+        blk = 2 * cand * wp * 2 * cin * 2 + cand * wp * co * 2
+        vals = cand * wp * (2 * 2 * m * 3 + 4 * m + 8 * co + 2 * co
+                            + 2 * cin)
+        if 2 * blk + vals + wbytes <= 12 * 1024 * 1024:
+            r = cand
+            break
+    nh = (h // 2) // r
+    xp = x.reshape(b, h, wp, 2 * cin)                # lane-merge bitcast
+    kern = functools.partial(_kernel_s2, rows=r, wout=wp, cmid=m)
+    full = lambda a: pl.BlockSpec(a.shape, lambda bb, ii: (0,) * a.ndim)
+    flops_blk = 2 * r * wp * m * (2 * (2 * r + 1) / (2 * r) * cin
+                                  + 9 * m + co) + 2 * r * wp * cin * co
+    return pl.pallas_call(
+        kern,
+        grid=(b, nh),
+        in_specs=[
+            pl.BlockSpec((1, 2 * r, wp, 2 * cin),
+                         lambda bb, ii: (bb, ii, 0, 0)),
+            pl.BlockSpec((1, 1, wp, 2 * cin),
+                         lambda bb, ii: (bb, jnp.maximum(2 * r * ii - 1, 0),
+                                         0, 0)),
+            full(w1), full(w2), full(w3), full(wd),
+            full(s1), full(s2), full(s3), full(sd),
+        ],
+        out_specs=pl.BlockSpec((1, r, wp, co),
+                               lambda bb, ii: (bb, ii, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h // 2, wp, co), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=int(b * nh * flops_blk),
+            bytes_accessed=x.size * 2 + b * (h // 2) * wp * co * 2,
+            transcendentals=0),
+        interpret=interpret,
+    )(xp, xp, w1, w2, w3, wd, s1, s2, s3, sd)
 
 
 def fused_bottleneck(x: jnp.ndarray,
