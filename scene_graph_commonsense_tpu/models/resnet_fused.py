@@ -21,7 +21,7 @@ import jax.numpy as jnp
 
 from ..ops.pallas.bottleneck import (fold_bn, fused_bottleneck,
                                      fused_bottleneck_s2)
-from ..ops.pallas.stem import stem_pool
+from ..ops.pallas.stem import stem_conv_pool, stem_pool
 
 
 def _conv(x, kernel, stride: int, padding: int, dtype):
@@ -81,19 +81,24 @@ def resnet_forward_fused(params, images: jnp.ndarray, *,
     from .detr import _space_to_depth_conv1  # local: avoid import cycle
 
     x = images
-    if x.shape[1] % 2 or x.shape[2] % 2:
-        x = _conv(x, params["conv1"]["kernel"], 2, 3, dtype)
+    if x.shape[1] % 8 == 0 and x.shape[2] % 8 == 0:
+        # whole stem in one kernel (conv-as-dot + BN + relu + pool)
+        x = stem_conv_pool(x.astype(dtype), params["conv1"]["kernel"],
+                           fold_bn(params["bn1"]), interpret=interpret)
     else:
-        x = _space_to_depth_conv1(x, params["conv1"]["kernel"], dtype)
-    if x.shape[1] % 2 or x.shape[2] % 2:
-        x = jax.nn.relu(_bn(x, fold_bn(params["bn1"])))
-        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
-                    constant_values=-jnp.inf)
-        x = jax.lax.reduce_window(
-            x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
-            [(0, 0)] * 4)
-    else:
-        x = stem_pool(x, fold_bn(params["bn1"]), interpret=interpret)
+        if x.shape[1] % 2 or x.shape[2] % 2:
+            x = _conv(x, params["conv1"]["kernel"], 2, 3, dtype)
+        else:
+            x = _space_to_depth_conv1(x, params["conv1"]["kernel"], dtype)
+        if x.shape[1] % 2 or x.shape[2] % 2:
+            x = jax.nn.relu(_bn(x, fold_bn(params["bn1"])))
+            x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                        constant_values=-jnp.inf)
+            x = jax.lax.reduce_window(
+                x, -jnp.inf, jax.lax.max, (1, 3, 3, 1), (1, 2, 2, 1),
+                [(0, 0)] * 4)
+        else:
+            x = stem_pool(x, fold_bn(params["bn1"]), interpret=interpret)
     for stage, (planes, nblocks, stride) in enumerate(
             zip((64, 128, 256, 512), blocks, (1, 2, 2, 2))):
         for i in range(nblocks):
