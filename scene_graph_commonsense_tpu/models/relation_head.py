@@ -171,6 +171,11 @@ class RelationClassifier(nn.Module):
         x = x.astype(self.dtype)
         u = jnp.tanh(self.conv1_sub(x))
         v = jnp.tanh(self.conv1_obj(x))
+        return self._grouped_conv2(u, v)
+
+    def _grouped_conv2(self, u: jnp.ndarray, v: jnp.ndarray):
+        """conv2 on per-entity maps u, v: (M, S, S, h) -> two
+        (M, 4, S/2, S/2, 4*hidden) pool-group tensors."""
         k_sub = self.conv2_sub.variables["params"]["kernel"].astype(
             self.dtype)
         k_obj = self.conv2_obj.variables["params"]["kernel"].astype(
@@ -190,6 +195,58 @@ class RelationClassifier(nn.Module):
             out = jnp.stack(outs, axis=1)
             return out if bias is None else out + bias
         return grouped(u, k_sub), grouped(v, k_obj, b_obj)
+
+    def _masked_entity_maps(self, features: jnp.ndarray, depth: jnp.ndarray,
+                            masks: jnp.ndarray):
+        """conv1 applied once per image with the {0,1} occupancy mask folded
+        in afterwards.
+
+        For a per-pixel binary mask m and a 1x1 conv,
+        `conv1(x * m) == where(m, conv1(x), bias)` exactly, so conv1 runs on
+        the B images instead of the B*N per-object stacks and the
+        (B*N, S, S, 2h+1) masked stack of the reference's pair assembly
+        (reference train_test.py:195-204) is never materialized in HBM.
+
+        features: (B, S, S, C); depth: (B, S, S, 1); masks: (B, N, S, S).
+        Returns subject/object entity maps u, v: (B*N, S, S, hidden)."""
+        bsz, n = masks.shape[:2]
+        x = jnp.concatenate([features.astype(self.dtype),
+                             depth.astype(self.dtype)], axis=-1)
+        y_sub = self.conv1_sub(x)[:, None]            # (B, 1, S, S, h)
+        y_obj = self.conv1_obj(x)[:, None]
+        bias_sub = self.conv1_sub.variables["params"]["bias"].astype(
+            self.dtype)
+        bias_obj = self.conv1_obj.variables["params"]["bias"].astype(
+            self.dtype)
+        m = (masks > 0)[..., None]                    # (B, N, S, S, 1)
+        u = jnp.tanh(jnp.where(m, y_sub, bias_sub))
+        v = jnp.tanh(jnp.where(m, y_obj, bias_obj))
+        s = u.shape[2]
+        return (u.reshape(bsz * n, s, s, self.hidden_dim),
+                v.reshape(bsz * n, s, s, self.hidden_dim))
+
+    def object_streams_from_image(self, features: jnp.ndarray,
+                                  depth: jnp.ndarray, masks: jnp.ndarray):
+        """object_streams with the per-image conv1 masking identity
+        (_masked_entity_maps); numerically identical to
+        `object_streams(assemble_object_stack(...))` for {0,1} masks."""
+        if self.is_initializing():
+            x = assemble_object_stack(features, depth, masks)
+            return self.object_streams(x.reshape((-1,) + x.shape[2:]))
+        u, v = self._masked_entity_maps(features, depth, masks)
+        return self.conv2_sub(u), self.conv2_obj(v)
+
+    def object_streams_grouped_from_image(self, features: jnp.ndarray,
+                                          depth: jnp.ndarray,
+                                          masks: jnp.ndarray):
+        """object_streams_grouped with the per-image conv1 masking identity
+        (_masked_entity_maps)."""
+        if self.is_initializing():
+            x = assemble_object_stack(features, depth, masks)
+            return self.object_streams_grouped(
+                x.reshape((-1,) + x.shape[2:]))
+        u, v = self._masked_entity_maps(features, depth, masks)
+        return self._grouped_conv2(u, v)
 
     # ---------------- per-pair stage ----------------
 

@@ -31,7 +31,7 @@ import optax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from scene_graph_commonsense_tpu.models.relation_head import (
-    RelationClassifier, assemble_object_stack)
+    RelationClassifier)
 from scene_graph_commonsense_tpu.ops import boxes as box_ops
 from scene_graph_commonsense_tpu.ops import pairs as pair_ops
 from scene_graph_commonsense_tpu.train import losses as L
@@ -158,8 +158,6 @@ def forward_pairs(model: RelationClassifier, params, batch: Dict[str, Any],
     masks = box_ops.boxes_to_masks(batch["boxes"], s,
                                    batch["features"].dtype)
     masks = masks * batch["valid"][:, :, None, None].astype(masks.dtype)
-    x = assemble_object_stack(batch[view], batch["depth"], masks)
-    x = x.reshape((b * n,) + x.shape[2:])
     if dropout_rng is not None:
         rng_s, rng_t, rng_h = jax.random.split(dropout_rng, 3)
     else:
@@ -175,7 +173,8 @@ def forward_pairs(model: RelationClassifier, params, batch: Dict[str, Any],
         from scene_graph_commonsense_tpu.ops.pallas.pair_pool import (
             pair_pool)
         a4, b4 = model.apply(
-            params, x, method=RelationClassifier.object_streams_grouped)
+            params, batch[view], batch["depth"], masks,
+            method=RelationClassifier.object_streams_grouped_from_image)
         pooled = pair_pool(a4, b4, packed.flat_sub, packed.flat_obj,
                            pallas_interpret, 0)
         h = model.apply(
@@ -183,8 +182,9 @@ def forward_pairs(model: RelationClassifier, params, batch: Dict[str, Any],
             method=RelationClassifier.pair_trunk_from_pooled,
             rngs={"dropout": rng_t} if rng_t is not None else None)
     else:
-        a, bb = model.apply(params, x,
-                            method=RelationClassifier.object_streams)
+        a, bb = model.apply(
+            params, batch[view], batch["depth"], masks,
+            method=RelationClassifier.object_streams_from_image)
         h = _chunked_pair_trunk(model, params, a, bb, packed, chunk_size,
                                 deterministic, rng_t)
     flat_cats = batch["cats"].reshape(b * n)

@@ -156,3 +156,51 @@ def test_assemble_object_stack(rng):
         np.asarray(x)[..., :c], f[:, None] * m[..., None])
     np.testing.assert_allclose(
         np.asarray(x)[..., c:], d[:, None] * m[..., None])
+
+
+def test_from_image_streams_match_assembled(rng):
+    """object_streams[_grouped]_from_image (per-image conv1, mask folded in
+    post-hoc) must match object_streams[_grouped] on the materialized
+    masked stack exactly — the masking identity conv1(x*m) ==
+    where(m, conv1(x), bias) holds for {0,1} masks."""
+    b, n, s, hidden = 2, 3, 16, 8
+    mdl = make_model(feature_size=s, hidden_dim=hidden)
+    feats = jnp.asarray(
+        rng.standard_normal((b, s, s, 2 * hidden)).astype(np.float32))
+    depth = jnp.asarray(
+        rng.standard_normal((b, s, s, 1)).astype(np.float32))
+    masks = np.zeros((b, n, s, s), np.float32)
+    for bi in range(b):
+        for ni in range(n - 1):      # last object left all-zero (invalid)
+            y0, x0 = rng.integers(0, s - 2, 2)
+            y1, x1 = y0 + rng.integers(1, 3), x0 + rng.integers(1, 3)
+            masks[bi, ni, y0:y1, x0:x1] = 1.0
+    masks = jnp.asarray(masks)
+
+    x0i = jnp.zeros((2, s, s, 2 * hidden + 1))
+    c0 = jnp.zeros(2, jnp.int32)
+    s0 = jnp.zeros((2, 5))
+    params = mdl.init(jax.random.PRNGKey(0), x0i, x0i, c0, c0, s0, s0)
+
+    stack = assemble_object_stack(feats, depth, masks)
+    stack = stack.reshape((b * n,) + stack.shape[2:])
+
+    a_ref, b_ref = mdl.apply(params, stack,
+                             method=RelationClassifier.object_streams)
+    a_new, b_new = mdl.apply(
+        params, feats, depth, masks,
+        method=RelationClassifier.object_streams_from_image)
+    np.testing.assert_allclose(np.asarray(a_new), np.asarray(a_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(b_new), np.asarray(b_ref),
+                               atol=1e-5, rtol=1e-5)
+
+    a4_ref, b4_ref = mdl.apply(
+        params, stack, method=RelationClassifier.object_streams_grouped)
+    a4_new, b4_new = mdl.apply(
+        params, feats, depth, masks,
+        method=RelationClassifier.object_streams_grouped_from_image)
+    np.testing.assert_allclose(np.asarray(a4_new), np.asarray(a4_ref),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(b4_new), np.asarray(b4_ref),
+                               atol=1e-5, rtol=1e-5)
