@@ -149,6 +149,19 @@ class TrainConfig:
     # matching predicted labels onto GT boxes (reference utils.py:404-415)
     # instead of the single best-IoU slot.
     sgcls_top2_duplicates: bool = False
+    # Eval-target parity (deviation 4, reference evaluate.py:152-157 /
+    # train_test.py:402-409): when a whole ragged pair column fails the
+    # mask-overlap filter across the batch, the reference `continue`s past
+    # BOTH directions, so those GT pairs never enter the R@k denominator.
+    # Default counts every connected GT pair; this restores the
+    # batch-composition-dependent drops (eval/builders.eval_column_keep).
+    faithful_eval_targets: bool = False
+    # SGDET target parity (reference utils.py:305-313): match_target_sgd's
+    # off-by-one loop bound never visits the last object's relation row,
+    # dropping every GT pair involving an image's final object from the
+    # SGDET target set.  Default keeps them; this restores the drop
+    # (eval/builders.sgd_target_keep).
+    faithful_sgd_targets: bool = False
     # Host input pipeline: number of batches kept in flight by a background
     # producer thread (data/pipeline.prefetch_iterator); loading, DETR
     # featurization, and host->device transfer overlap the train step.

@@ -161,11 +161,22 @@ BGR_MEAN = np.array([102.9801, 115.9465, 122.7717], np.float32)
 
 def square_image(image: np.ndarray, size: int) -> np.ndarray:
     """Square resize + mean normalization (reference dataloader.py:43-51,
-    101-104)."""
+    101-104).
+
+    Pixel scale replicates a load-bearing reference quirk: the square
+    (featurize) views pass through `255 * TwoCropTransform(...)` (reference
+    dataloader.py:102), but TwoCropTransform returns a TUPLE
+    (dataset_utils.py:23-24), so `255 *` is sequence replication — the
+    pixels STAY in ToTensor's [0, 1] range when the BGR means are
+    subtracted.  Every reference relation checkpoint was trained on
+    features of such images, so parity requires /255 here.  (The
+    non-square detection view multiplies a real tensor and IS 0-255,
+    reference dataloader.py:110 — see nonsquare_canvas; OIv6's square view
+    likewise, reference dataloader.py:297-299 — see data/oiv6.py.)"""
     from PIL import Image
     img = Image.fromarray(image.astype(np.uint8))
     img = img.resize((size, size), Image.BILINEAR)
-    return np.asarray(img, np.float32) - BGR_MEAN
+    return np.asarray(img, np.float32) / 255.0 - BGR_MEAN
 
 
 def nonsquare_canvas(image: np.ndarray, min_side: int = 600,

@@ -142,16 +142,80 @@ def build_candidates_top3(relation: np.ndarray, connectivity: np.ndarray,
 
 
 def build_targets(rel: np.ndarray, cats: np.ndarray, boxes: np.ndarray,
-                  valid: np.ndarray) -> Targets:
+                  valid: np.ndarray,
+                  keep: Optional[np.ndarray] = None) -> Targets:
     """Flattens the (B, N, N) directed GT relation grid into Targets: one row
-    per connected directed pair (subject-slot i -> object-slot j)."""
+    per connected directed pair (subject-slot i -> object-slot j).
+
+    `keep` is an optional (B, N, N) bool mask of directed pairs allowed into
+    the target set — the faithful-parity hooks (eval_column_keep /
+    sgd_target_keep) thread the reference's target-dropping quirks through
+    it.  Default None keeps every connected GT pair."""
     rel = np.asarray(rel)
     cats = np.asarray(cats)
     boxes = np.asarray(boxes)
     valid = np.asarray(valid).astype(bool)
     b, n, _ = rel.shape
     ok = (rel >= 0) & valid[:, :, None] & valid[:, None, :]
+    if keep is not None:
+        ok &= np.asarray(keep).astype(bool)
     img, i, j = np.nonzero(ok)
     return Targets(img=img, rel=rel[img, i, j],
                    sub_cat=cats[img, i], obj_cat=cats[img, j],
                    sub_box=boxes[img, i], obj_box=boxes[img, j])
+
+
+def _int_rects(boxes: np.ndarray, size: int):
+    """Reference mask rasterization: mask[int(y0):int(y1), int(x0):int(x1)]
+    (reference evaluate.py:111-116), i.e. coordinates truncate toward zero.
+    boxes: (..., 4) canonical (x0, x1, y0, y1).  Returns truncated
+    (x0, x1, y0, y1) clipped to the grid."""
+    b = np.trunc(np.asarray(boxes, np.float64))
+    return np.clip(b, 0, size)
+
+
+def eval_column_keep(boxes: np.ndarray, valid: np.ndarray,
+                     feature_size: int) -> np.ndarray:
+    """Deviation 4 (reference evaluate.py:152-157, train_test.py:402-409):
+    the reference's ragged eval loop walks unordered pair columns
+    (graph_iter, edge_iter) across the images still alive at that column;
+    when NO alive image's masks overlap, it `continue`s past both
+    directions, so every GT pair in that column — including connected pairs
+    of images that merely shared a batch with non-overlapping ones — never
+    reaches the evaluator's target set.
+
+    Returns a (B, N, N) bool mask of directed target pairs the reference
+    would keep for this batch.  Batch-composition dependent by construction:
+    the same image can lose targets in one batch and keep them in another.
+    """
+    boxes = np.asarray(boxes)
+    valid = np.asarray(valid).astype(bool)
+    r = _int_rects(boxes, feature_size)                      # (B, N, 4)
+    x0, x1, y0, y1 = r[..., 0], r[..., 1], r[..., 2], r[..., 3]
+    iw = (np.minimum(x1[:, :, None], x1[:, None, :])
+          - np.maximum(x0[:, :, None], x0[:, None, :]))
+    ih = (np.minimum(y1[:, :, None], y1[:, None, :])
+          - np.maximum(y0[:, :, None], y0[:, None, :]))
+    overlap = (iw > 0) & (ih > 0) \
+        & valid[:, :, None] & valid[:, None, :]              # (B, N, N)
+    # a column (i, j) is alive iff ANY image overlaps there; the loop's
+    # keep_in_batch restriction is subsumed: images without slot i or j
+    # have valid=False there and cannot overlap
+    col_alive = overlap.any(axis=0)
+    col_alive = col_alive | col_alive.T                      # unordered
+    return np.broadcast_to(col_alive, overlap.shape)
+
+
+def sgd_target_keep(valid: np.ndarray) -> np.ndarray:
+    """SGDET target parity (reference utils.py:305-313): match_target_sgd
+    iterates `for graph_iter in range(len(relationships[i]))` over the n-1
+    relation rows but indexes row `graph_iter - 1`, so the LAST object's
+    relation row is never visited — every GT pair involving an image's
+    final (smallest-area) object is silently dropped from the SGDET target
+    set.  Returns the (B, N, N) keep mask replicating that drop."""
+    valid = np.asarray(valid).astype(bool)
+    b, n = valid.shape
+    n_live = valid.sum(axis=1)                                # (B,)
+    idx = np.arange(n)
+    pair_max = np.maximum(idx[:, None], idx[None, :])         # (N, N)
+    return pair_max[None] < (n_live[:, None, None] - 1)

@@ -31,7 +31,8 @@ import numpy as np
 
 from scene_graph_commonsense_tpu.constants import OBJ_ALP2FRE
 from scene_graph_commonsense_tpu.eval.builders import (
-    build_candidates, build_candidates_top3, build_targets)
+    build_candidates, build_candidates_top3, build_targets,
+    eval_column_keep, sgd_target_keep)
 from scene_graph_commonsense_tpu.eval.recall import (
     Evaluator, EvaluatorTop3, np_mask_iou)
 from scene_graph_commonsense_tpu.ops.detection import postprocess_detections
@@ -85,9 +86,16 @@ def _accumulate_batch(evaluator, ev3, cfg, out, batch, artifacts,
         num_possessive=m.num_possessive, predcls=predcls,
         cat_conf=cat_conf, cs_aligned=cs_a, cs_violated=cs_v,
         num_obj_classes=m.num_classes)
+    keep = None
+    if cfg.training.faithful_eval_targets:
+        # deviation 4: drop targets of pair columns whose overlap filter
+        # failed for every image in this batch (eval/builders docstring)
+        keep = eval_column_keep(np.asarray(batch["boxes"]),
+                                np.asarray(batch["valid"]),
+                                cfg.model.feature_size)
     tgt = build_targets(np.asarray(batch["rel"]), np.asarray(batch["cats"]),
                         np.asarray(batch["boxes"]),
-                        np.asarray(batch["valid"]))
+                        np.asarray(batch["valid"]), keep=keep)
     evaluator.accumulate(cand, tgt)
     if cfg.data.dataset == "oiv6":
         evaluator.accumulate_precision(cand, tgt)
@@ -322,10 +330,12 @@ def run_eval_sgd(cfg, model, params, batches: Iterable[Dict],
             predcls=False, cat_conf=np.asarray(det["cat_conf"]),
             cs_aligned=cs_a, cs_violated=cs_v,
             num_obj_classes=m.num_classes)
+        keep = (sgd_target_keep(np.asarray(batch["valid"]))
+                if cfg.training.faithful_sgd_targets else None)
         tgt = build_targets(np.asarray(batch["rel"]),
                             np.asarray(batch["cats"]),
                             np.asarray(batch["boxes"]),
-                            np.asarray(batch["valid"]))
+                            np.asarray(batch["valid"]), keep=keep)
         ev.accumulate(cand, tgt)
         if cfg.data.dataset == "oiv6":
             ev.accumulate_precision(cand, tgt)

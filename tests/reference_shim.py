@@ -33,6 +33,121 @@ def _install_stubs() -> None:
         sys.modules.setdefault(name, types.ModuleType(name))
 
 
+def install_torchvision_shim() -> None:
+    """Upgrades the torchvision/cv2 stubs with FUNCTIONAL implementations of
+    the handful of library ops the reference dataloader uses
+    (reference dataloader.py:39-51, 99-101), so the LIVING
+    VisualGenomeDataset can run end to end in this torchvision-less
+    environment:
+
+      * ToTensor / Resize(antialias) / Normalize / Compose / RandomApply —
+        faithful re-implementations on plain torch (Resize uses
+        F.interpolate(bilinear, antialias=True), the same kernel
+        torchvision's float-tensor path calls);
+      * ColorJitter — identity.  The jittered view only feeds the
+        contrastive term (reference train_test.py:152-154, 260-272); parity
+        harnesses that use this shim run with lambda_contrast = 0;
+      * cv2.imread / cv2.cvtColor via PIL (BGR byte-identical decode).
+
+    These are library semantics, not reference first-party code — the
+    reference's own logic (pkl loading, reorder maps, matrix building,
+    filters) still executes unmodified.
+    """
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    _install_stubs()
+    tv = sys.modules["torchvision"]
+    tr = tv.transforms
+
+    class Compose:
+        def __init__(self, ts):
+            self.ts = ts
+
+        def __call__(self, x):
+            for t in self.ts:
+                x = t(x)
+            return x
+
+    class ToTensor:
+        def __call__(self, x):
+            if not isinstance(x, np.ndarray):
+                x = np.asarray(x)          # PIL image
+            if x.ndim == 2:
+                x = x[:, :, None]
+            t = torch.from_numpy(np.ascontiguousarray(
+                x.transpose(2, 0, 1)))
+            return t.float().div(255) if t.dtype == torch.uint8 \
+                else t.float()
+
+    class Resize:
+        def __init__(self, size, max_size=None, antialias=True):
+            self.size, self.max_size = size, max_size
+
+        def __call__(self, x):
+            h, w = x.shape[-2:]
+            if isinstance(self.size, (tuple, list)):
+                nh, nw = self.size
+            else:
+                # torchvision _compute_resized_output_size semantics
+                short, long = (w, h) if w <= h else (h, w)
+                ns, nl = self.size, int(self.size * long / short)
+                if self.max_size is not None and nl > self.max_size:
+                    ns = int(self.max_size * ns / nl)
+                    nl = self.max_size
+                (nw, nh) = (ns, nl) if w <= h else (nl, ns)
+            return F.interpolate(x[None], size=(nh, nw), mode="bilinear",
+                                 align_corners=False, antialias=True)[0]
+
+    class Normalize:
+        def __init__(self, mean, std):
+            self.mean = torch.tensor(mean).view(-1, 1, 1)
+            self.std = torch.tensor(std).view(-1, 1, 1)
+
+        def __call__(self, x):
+            return (x - self.mean) / self.std
+
+    class ColorJitter:
+        def __init__(self, *a, **k):
+            pass
+
+        def __call__(self, x):
+            return x
+
+    class RandomApply:
+        def __init__(self, ts, p=0.5):
+            self.ts, self.p = ts, p
+
+        def __call__(self, x):
+            if self.p < torch.rand(1):
+                return x
+            for t in self.ts:
+                x = t(x)
+            return x
+
+    for name, cls in (("Compose", Compose), ("ToTensor", ToTensor),
+                      ("Resize", Resize), ("Normalize", Normalize),
+                      ("ColorJitter", ColorJitter),
+                      ("RandomApply", RandomApply)):
+        setattr(tr, name, cls)
+
+    cv2 = sys.modules["cv2"]
+    cv2.COLOR_BGR2RGB = 4
+
+    def imread(path):
+        from PIL import Image
+        rgb = np.asarray(Image.open(path).convert("RGB"))
+        return rgb[:, :, ::-1].copy()      # cv2 returns BGR
+
+    def cvtColor(img, code):
+        assert code == cv2.COLOR_BGR2RGB
+        return img[:, :, ::-1].copy()
+
+    cv2.imread = imread
+    cv2.cvtColor = cvtColor
+
+
 def import_reference():
     """Returns the reference's (model, evaluator) modules, importing them
     from /root/reference on first use."""

@@ -199,13 +199,16 @@ class _RefDataset:
                 f"synthetic_{idx}_annotations.pkl")
 
 
-def _hub_detr(torch, nn):
+def _hub_detr(torch, nn, inner=None):
     """tests/torch_detr.py wrapped in the torch.hub DETR interface that
-    process_image_features consumes (reference train_utils.py:9-18)."""
+    process_image_features consumes (reference train_utils.py:9-18).
+    Pass `inner` to wrap a specific TorchDETR instance (the checkpoint
+    parity harness shares one replica between both frameworks)."""
     sys.path.insert(0, os.path.join(ROOT, "tests"))
     from torch_detr import TorchDETR, sine_position_embedding
 
-    inner = TorchDETR()
+    if inner is None:
+        inner = TorchDETR()
 
     class HubJoiner(nn.Module):
         def __init__(self):
