@@ -158,8 +158,16 @@ def _pair_pool_bwd(interpret, channel_tile, res, g):
     onehot = jnp.concatenate([
         (si[None, :] == ar[:, None]).astype(g.dtype),
         (oj[None, :] == ar[:, None]).astype(g.dtype)], axis=0)  # (2M, P)
+    # HIGHEST matmul precision: the TPU default lowers f32 matmuls to
+    # bf16 MXU passes, which would round the f32 cotangents to ~2e-3
+    # rel error (caught on-chip by tools/verify_fused.py; XLA's own
+    # scatter backward is exact).  For bf16 cotangents the operands are
+    # MXU-exact either way, so this costs nothing in production bf16 and
+    # ~1 ms at f32 (the contraction is ~64 GFLOP against a 197 TFLOP/s
+    # chip).
     dab = jnp.einsum("mp,pchwk->mchwk", onehot, ds,
-                     preferred_element_type=jnp.float32).astype(g.dtype)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST).astype(g.dtype)
     return dab[:m], dab[m:], None, None
 
 
