@@ -207,6 +207,13 @@ class RelationClassifier(nn.Module):
         (B*N, S, S, 2h+1) masked stack of the reference's pair assembly
         (reference train_test.py:195-204) is never materialized in HBM.
 
+        PRECONDITION: masks must be binary ({0, 1} after the `> 0`
+        binarization below).  A soft/fractional mask (e.g. antialiased
+        boxes) breaks the identity at boundary pixels — the reference's
+        semantics there would be x * m, not select.  All current producers
+        are `boxes_to_masks(...) * valid`, which is binary by construction;
+        tests/test_boxes.py::test_boxes_to_masks_is_binary pins that down.
+
         features: (B, S, S, C); depth: (B, S, S, 1); masks: (B, N, S, S).
         Returns subject/object entity maps u, v: (B*N, S, S, hidden)."""
         bsz, n = masks.shape[:2]

@@ -71,6 +71,19 @@ def test_boxes_to_masks_matches_scatter(rng):
         np.testing.assert_array_equal(got[i], naive_mask(b[i]).astype(np.float32))
 
 
+def test_boxes_to_masks_is_binary(rng):
+    """The conv1 masking identity in relation_head._masked_entity_maps
+    (`conv1(x*m) == where(m, conv1(x), bias)`) is exact ONLY for {0,1}
+    masks.  If boxes_to_masks ever goes soft (e.g. antialiased edges),
+    this must fail so the identity's precondition is re-examined."""
+    b = random_boxes(rng, 50)
+    # fractional box coordinates: the most likely trigger for soft edges
+    bf = b + rng.random(b.shape) * 0.9
+    for boxes in (b, bf):
+        m = np.asarray(B.boxes_to_masks(jnp.asarray(boxes)))
+        assert set(np.unique(m)) <= {0.0, 1.0}, np.unique(m)
+
+
 def test_resize_box():
     # int-truncation semantics of reference utils.py:38-55
     box = [10, 20, 30, 45]  # x_min, y_min, x_max, y_max
