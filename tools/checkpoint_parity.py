@@ -360,7 +360,14 @@ def compare(d: str, out_path: str, tol: float = 0.01) -> dict:
     with open(os.path.join(d, "ours.json")) as f:
         ours = json.load(f)
     keys = ["recall", "mean_recall", "recall_zs", "mean_recall_zs"]
-    deltas = {k: [abs(a - b) for a, b in zip(ref[k], ours[k])]
+
+    def _delta(a, b):
+        # both-NaN (e.g. mean over an empty zero-shot class set) agrees
+        if np.isnan(a) and np.isnan(b):
+            return 0.0
+        return abs(a - b)
+
+    deltas = {k: [_delta(a, b) for a, b in zip(ref[k], ours[k])]
               for k in keys if k in ref and k in ours}
     max_delta = max((max(v) for v in deltas.values()), default=float("nan"))
     top3 = {}
