@@ -115,28 +115,41 @@ def synthetic_batches(cfg, n_batches, seed=0, with_aug=True):
     return gen
 
 
-def native_batches(cfg):
-    """Eval-style batch source assembled by the C++ packer: SGRC records
-    (cfg.data.sgrc_dir) + the precomputed feature cache.  Records carry no
-    pixels, so training (which needs the contrastive image view) and the
-    sgc/sgd detection modes stay on the Python loader."""
+def native_batches(cfg, training: bool = False):
+    """Batch source assembled by the C++ packer (data/native): SGRC
+    records (cfg.data.sgrc_dir) + the precomputed feature cache.
+
+    Eval (PredCLS): annotation-only v1 records, features from the cache.
+    Training: v2 records with the embedded raw image — the per-epoch
+    jittered contrastive view is computed by native threads
+    (sgc_pack_train_batch); the main view comes from the feature cache
+    when available, else from the natively-resized plain view."""
     import glob as _glob
     from scene_graph_commonsense_tpu.data.pipeline import (
         NativeRecordPipeline)
-    if not cfg.data.features_dir:
-        sys.exit("data.sgrc_dir requires data.features_dir: SGRC records "
-                 "carry annotations only (tools/precompute_features.py)")
+    have_cache = bool(cfg.data.features_dir)
+    if not training and not have_cache:
+        sys.exit("data.sgrc_dir eval requires data.features_dir: SGRC "
+                 "records carry no plain view for PredCLS "
+                 "(tools/precompute_features.py)")
     paths = sorted(_glob.glob(os.path.join(cfg.data.sgrc_dir, "*.sgrec")))
     if not paths:
         sys.exit(f"no .sgrec records under {cfg.data.sgrc_dir}; run "
-                 f"tools/preprocess_vg.py --stage sgrecords")
-    paths = paths[:max(1, int(cfg.data.percent_test * len(paths)))]
+                 f"tools/preprocess_vg.py --stage sgrecords"
+                 + (" --embed-images" if training else ""))
+    pct = cfg.data.percent_train if training else cfg.data.percent_test
+    paths = paths[:max(1, int(pct * len(paths)))]
     pipe = NativeRecordPipeline(
         paths, cfg.training.batch_size,
         max_objects=cfg.data.max_objects,
-        feature_size=cfg.model.feature_size, shuffle=False)
+        feature_size=cfg.model.feature_size, shuffle=training,
+        seed=cfg.training.seed, training=training,
+        image_size=cfg.model.image_size if training else 0,
+        want_plain=training and not have_cache)
 
     def attach_features(batch):
+        if not have_cache:
+            return batch
         feats = []
         for p in batch["annot_path"]:
             name = os.path.splitext(os.path.basename(p))[0]
@@ -147,15 +160,19 @@ def native_batches(cfg):
         return batch
 
     def gen(epoch=0):
-        return map(attach_features, iter(pipe))
+        return map(attach_features, pipe.iter_epoch(epoch))
 
     return gen
 
 
 def real_batches(cfg, training: bool):
-    if (cfg.data.sgrc_dir and cfg.data.dataset == "vg" and not training
-            and cfg.training.eval_mode == "pc"):
-        return native_batches(cfg)
+    # native C++ pipeline: training always (v2 records carry pixels);
+    # eval only with a feature cache (v1 records are annotation-only) —
+    # otherwise the Python loader supplies the eval pixels
+    if (cfg.data.sgrc_dir and cfg.data.dataset == "vg"
+            and (training or (cfg.training.eval_mode == "pc"
+                              and cfg.data.features_dir))):
+        return native_batches(cfg, training=training)
     annot = (cfg.data.annotation_train if training
              else cfg.data.annotation_test)
     if not os.path.exists(annot):

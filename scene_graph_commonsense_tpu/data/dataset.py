@@ -121,39 +121,75 @@ def adjust_hue(image: np.ndarray, hue_factor: float) -> np.ndarray:
     return _hsv_to_rgb(h, s, v) * 255.0
 
 
+def color_jitter_params(rng: np.random.Generator, brightness=0.4,
+                        contrast=0.4, saturation=0.4, hue=0.1, p=0.8):
+    """Draws the RandomApply/ColorJitter sample — (apply, order, factors)
+    with op ids 0=brightness, 1=contrast, 2=saturation, 3=hue — in the
+    EXACT sequence the in-place transform used to draw them (p test, then
+    permutation, then each op's factor lazily in permutation order), so
+    existing RNG streams produce bit-identical augmentations.  Separated
+    from application so the native C++ train packer (data/native) can
+    consume the same factors."""
+    order = np.arange(4)
+    factors = np.array([1.0, 1.0, 1.0, 0.0], np.float32)
+    if rng.random() > p:
+        return False, order, factors
+    order = rng.permutation(4)
+    for k in order:
+        if k == 0:
+            factors[0] = rng.uniform(max(0.0, 1 - brightness),
+                                     1 + brightness)
+        elif k == 1:
+            factors[1] = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
+        elif k == 2:
+            factors[2] = rng.uniform(max(0.0, 1 - saturation),
+                                     1 + saturation)
+        else:
+            factors[3] = rng.uniform(-hue, hue)
+    return True, order, factors
+
+
+def apply_color_jitter(image: np.ndarray, order: np.ndarray,
+                       factors: np.ndarray) -> np.ndarray:
+    """Applies the four torchvision-semantics adjustments (brightness =
+    blend with black, contrast = blend with the mean luma, saturation =
+    blend with per-pixel luma, hue = HSV rotation) in `order` with the
+    given `factors` on a float RGB image in 0..255."""
+    img = image.astype(np.float32)
+
+    def adj_brightness(x):
+        return x * factors[0]
+
+    def adj_contrast(x):
+        f = factors[1]
+        mean = (x @ _LUMA).mean()
+        return x * f + mean * (1.0 - f)
+
+    def adj_saturation(x):
+        f = factors[2]
+        gray = (x @ _LUMA)[..., None]
+        return x * f + gray * (1.0 - f)
+
+    def adj_hue(x):
+        return adjust_hue(x, factors[3])
+
+    ops = [adj_brightness, adj_contrast, adj_saturation, adj_hue]
+    for k in order:
+        img = ops[k](img)
+    return np.clip(img, 0, 255)
+
+
 def color_jitter(rng: np.random.Generator, image: np.ndarray,
                  brightness=0.4, contrast=0.4, saturation=0.4,
                  hue=0.1, p=0.8) -> np.ndarray:
     """Numpy replica of the reference's contrastive second-view transform
     RandomApply([ColorJitter(0.4, 0.4, 0.4, 0.1)], p=0.8) (reference
-    dataloader.py:45-49): the four adjustments run in a random order with
-    torchvision's blend semantics (brightness = blend with black, contrast
-    = blend with the mean luma, saturation = blend with per-pixel luma,
-    hue = HSV rotation)."""
-    if rng.random() > p:
+    dataloader.py:45-49)."""
+    apply, order, factors = color_jitter_params(
+        rng, brightness, contrast, saturation, hue, p)
+    if not apply:
         return image
-    img = image.astype(np.float32)
-
-    def adj_brightness(x):
-        return x * rng.uniform(max(0.0, 1 - brightness), 1 + brightness)
-
-    def adj_contrast(x):
-        f = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
-        mean = (x @ _LUMA).mean()
-        return x * f + mean * (1.0 - f)
-
-    def adj_saturation(x):
-        f = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
-        gray = (x @ _LUMA)[..., None]
-        return x * f + gray * (1.0 - f)
-
-    def adj_hue(x):
-        return adjust_hue(x, rng.uniform(-hue, hue))
-
-    ops = [adj_brightness, adj_contrast, adj_saturation, adj_hue]
-    for k in rng.permutation(4):
-        img = ops[k](img)
-    return np.clip(img, 0, 255)
+    return apply_color_jitter(image, order, factors)
 
 
 BGR_MEAN = np.array([102.9801, 115.9465, 122.7717], np.float32)

@@ -66,14 +66,25 @@ class NativeRecordPipeline:
     """SGRC record files -> padded device-ready batches via the C++ packer.
 
     `paths` is the record list (one file per image); batches are assembled
-    with sgc_pack_batch's thread pool, under-filled slots (rejected records)
+    with the sgc_pack.cc thread pool, under-filled slots (rejected records)
     are dropped and the batch refilled from the tail to keep shapes static.
-    """
+
+    With training=True the records must be v2 (embedded raw image,
+    tools/preprocess_vg.py --stage sgrecords --embed-images) and each
+    batch additionally carries the per-epoch jittered contrastive view
+    'image_aug' (and the plain square view 'image' when want_plain —
+    skip it when the main view comes from the feature cache).  The
+    ColorJitter sample is drawn HERE (data.dataset.color_jitter_params,
+    the epoch-seeded numpy RNG) and applied in C++, so randomness
+    semantics stay in Python while the pixel work runs on native
+    threads."""
 
     def __init__(self, paths: Sequence[str], batch_size: int,
                  max_objects: int = 20, feature_size: int = 32,
                  num_super: int = 17, num_threads: int = 8,
-                 seed: int = 0, shuffle: bool = True):
+                 seed: int = 0, shuffle: bool = True,
+                 training: bool = False, image_size: int = 0,
+                 want_plain: bool = False):
         from scene_graph_commonsense_tpu.data.native import NativeBatchPacker
         self.packer = NativeBatchPacker(max_objects, feature_size,
                                         num_super, num_threads)
@@ -81,11 +92,36 @@ class NativeRecordPipeline:
         self.batch_size = batch_size
         self.seed = seed
         self.shuffle = shuffle
+        self.training = training
+        self.image_size = image_size
+        self.want_plain = want_plain
+        if training and image_size <= 0:
+            raise ValueError("training=True needs image_size for the "
+                             "square contrastive views")
 
-    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+    def _pack(self, chunk, rng):
+        if not self.training:
+            return self.packer.pack(chunk), ("cats", "boxes", "rel",
+                                             "valid", "super_mh", "depth")
+        from scene_graph_commonsense_tpu.data.dataset import (
+            color_jitter_params)
+        jitter = np.zeros((len(chunk), 9), np.float32)
+        for i in range(len(chunk)):
+            apply, order, factors = color_jitter_params(rng)
+            jitter[i, 0] = float(apply)
+            jitter[i, 1:5] = order
+            jitter[i, 5:9] = factors
+        out = self.packer.pack_train(chunk, jitter, self.image_size,
+                                     want_plain=self.want_plain)
+        keys = ("cats", "boxes", "rel", "valid", "super_mh", "depth",
+                "image_aug") + (("image",) if self.want_plain else ())
+        return out, keys
+
+    def iter_epoch(self, epoch: int = 0) -> Iterator[Dict[str, np.ndarray]]:
+        rng = np.random.default_rng(self.seed + epoch)
         order = np.arange(len(self.paths))
         if self.shuffle:
-            np.random.default_rng(self.seed).shuffle(order)
+            rng.shuffle(order)
         pending = [self.paths[i] for i in order]
         buf: list = []
         cursor = 0
@@ -94,12 +130,10 @@ class NativeRecordPipeline:
                 take = self.batch_size - len(buf)
                 chunk = pending[cursor:cursor + take]
                 cursor += take
-                out = self.packer.pack(chunk)
+                out, keys = self._pack(chunk, rng)
                 for k in range(len(chunk)):
                     if out["ok"][k]:
-                        ex = {key: out[key][k] for key in
-                              ("cats", "boxes", "rel", "valid",
-                               "super_mh", "depth")}
+                        ex = {key: out[key][k] for key in keys}
                         ex["annot_path"] = chunk[k]
                         buf.append(ex)
             if len(buf) >= self.batch_size:
@@ -111,3 +145,6 @@ class NativeRecordPipeline:
                 yield batch
             else:
                 break
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        return self.iter_epoch(0)

@@ -166,12 +166,20 @@ def stage_sgrecords(args, cfg, log_fn=print):
             scs = [np.asarray(s).reshape(-1)
                    for s in rec["super_categories"]]
             super_mh = super_multi_hot(scs).astype(np.uint8)
+        image = None
+        if getattr(args, "embed_images", False):
+            img_path = os.path.join(cfg.data.image_dir, img["file_name"])
+            if not os.path.exists(img_path):
+                skipped += 1
+                continue
+            from PIL import Image
+            image = np.asarray(Image.open(img_path).convert("RGB"))
         write_sgrec(os.path.join(out_dir, name + ".sgrec"),
                     np.asarray(rec["categories"], np.int32),
                     np.asarray(rec["bbox"], np.float32),
                     super_mh, rels, rec["subj_or_obj"],
                     np.asarray(rec["image_depth"], np.float32),
-                    feature_size=cfg.model.feature_size)
+                    feature_size=cfg.model.feature_size, image=image)
         written += 1
     log_fn(f"wrote {written} SGRC records under {out_dir} "
            f"({skipped} images skipped)")
@@ -189,12 +197,24 @@ def main():
     ap.add_argument("--with_depth", action="store_true")
     ap.add_argument("--out", default="datasets/vg_sgrc",
                     help="output dir for --stage sgrecords")
+    ap.add_argument("--embed-images", action="store_true",
+                    help="write v2 records with the raw RGB image "
+                         "embedded so TRAINING batches (per-epoch "
+                         "contrastive view) can be assembled by the C++ "
+                         "packer (data.sgrc_dir + train)")
     ap.add_argument("--cluster", default="motif",
                     choices=["motif", "gpt2", "bert", "clip"],
                     help="predicate order for the triplet tables (must "
                          "match the training --cluster)")
+    ap.add_argument("--config", default=None,
+                    help="optional YAML config (paths, feature_size, "
+                         "max_objects) — same schema as main.py --config")
     args = ap.parse_args()
-    cfg = derive("vg", supcat_clustering=args.cluster)
+    if args.config:
+        from scene_graph_commonsense_tpu.config import load_config
+        cfg = load_config(args.config, supcat_clustering=args.cluster)
+    else:
+        cfg = derive("vg", supcat_clustering=args.cluster)
     if args.stage == "instances":
         stage_instances(args, cfg)
     elif args.stage == "annotations":
