@@ -110,13 +110,18 @@ def _forward(predictor, params, batch, deterministic=True, rng=None,
 
 
 def make_pnp_train_step(predictor: HierarchicalPredictor, cfg, optimizer,
-                        cs_tables=None):
+                        cs_tables=None, mesh=None):
     """Jitted train step: hierarchical relation NLL + connectivity BCE
     (+ object-decode CE outside predcls mode; + the commonsense penalty
     over LLM-validated triplet tables when cs_tables is given — the same
     train_cs composition the reference applies to its base model,
     reference train_utils.py:36-60, here available to every plug-and-play
-    family)."""
+    family).
+
+    With a mesh, the batch is 'data'-sharded and state replicated via
+    GSPMD; the partitioner inserts the gradient all-reduce (the reference
+    runs every plug-and-play family under DDP too, reference
+    main.py:103-123)."""
     tc = cfg.training
 
     def step(state: TrainState, batch, rng):
@@ -190,7 +195,14 @@ def make_pnp_train_step(predictor: HierarchicalPredictor, cfg, optimizer,
         params = optax.apply_updates(state.params, updates)
         return TrainState(params, opt_state, state.step + 1), metrics
 
-    return jax.jit(step, donate_argnums=(0,))
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,))
+    from jax.sharding import NamedSharding, PartitionSpec
+    repl = NamedSharding(mesh, PartitionSpec())
+    data_sh = NamedSharding(mesh, PartitionSpec("data"))
+    return jax.jit(step, donate_argnums=(0,),
+                   in_shardings=(repl, data_sh, repl),
+                   out_shardings=(repl, repl))
 
 
 def make_pnp_eval_step(predictor: HierarchicalPredictor, cfg,
