@@ -58,7 +58,7 @@ def chained_rate(run_step, n_long: int = STEPS, n_short: int = SHORT):
     return (t_long - t_short) / (n_long - n_short)
 
 
-MODES = ("predcls", "detect", "sgdet", "trainfull", "all")
+MODES = ("predcls", "detect", "sgdet", "trainfull", "encode", "all")
 
 
 def main():
@@ -115,7 +115,7 @@ def main():
         dt = chained_rate(pc_step)
         results["predcls_eval"] = BATCH / dt
 
-    if mode in ("detect", "sgdet", "trainfull", "all"):
+    if mode in ("detect", "sgdet", "trainfull", "encode", "all"):
         detr = make_detr(cfg)
         detr_params = detr.init(jax.random.PRNGKey(0),
                                 jnp.zeros((1, 64, 64, 3)),
@@ -160,6 +160,73 @@ def main():
 
             dt = chained_rate(sgdet_step)
             results["sgdet_pipeline"] = BATCH / dt
+
+        if mode in ("encode", "all"):
+            # Encode-path split + MFU.  The relation stage consumes the
+            # encoder-only feature path (reference train_utils.py:9-18);
+            # after the Pallas trunk fusion the interesting questions are
+            # (a) how the remaining encode time splits between the conv
+            # trunk and the transformer encoder and (b) how close the
+            # whole path runs to roofline.  FLOPs come from XLA's cost
+            # analysis of the UNFUSED program — XLA cannot see inside the
+            # Pallas custom calls, but the math is identical, so the XLA
+            # count over the fused path's measured time is the honest MFU.
+            from bench import _peak_flops
+            from scene_graph_commonsense_tpu.models.detr import ResNet101
+            from scene_graph_commonsense_tpu.models.resnet_fused import (
+                resnet_forward_fused)
+
+            cdt = jnp.dtype(cfg.model.compute_dtype)
+            enc = jax.jit(lambda img: detr.apply(
+                detr_params, img, method=DETR.encode_features))
+            bb_params = {"params": detr_params["params"]["backbone"]}
+            trunk_fused = jax.jit(lambda img: resnet_forward_fused(
+                detr_params["params"]["backbone"], img, dtype=cdt))
+            trunk_xla = jax.jit(lambda img: ResNet101(dtype=cdt).apply(
+                bb_params, img))
+            detr_xla = detr.clone(fused_backbone=False)
+            enc_xla = jax.jit(lambda img: detr_xla.apply(
+                detr_params, img, method=DETR.encode_features))
+
+            def rate_of(fn, pick):
+                def step(i, carry):
+                    img = dbatches[i % STEPS]
+                    if carry is not None:
+                        img = img + carry * 0
+                    return pick(fn(img))
+                return chained_rate(step)
+
+            dt_enc = rate_of(enc, lambda o: o[0, 0, 0, 0])
+            dt_enc_xla = rate_of(enc_xla, lambda o: o[0, 0, 0, 0])
+            dt_trunk = rate_of(trunk_fused, lambda o: o[0, 0, 0, 0])
+            dt_trunk_xla = rate_of(trunk_xla, lambda o: o[0, 0, 0, 0])
+            results["encode"] = BATCH / dt_enc
+
+            enc_mfu = trunk_mfu = None
+            try:
+                cost = enc_xla.lower(dbatches[0]).compile().cost_analysis()
+                flops = (cost or {}).get("flops", 0.0)
+                peak = _peak_flops(jax.devices()[0])
+                if flops:
+                    enc_mfu = round(100 * flops / dt_enc / peak, 2)
+                tcost = trunk_xla.lower(
+                    dbatches[0]).compile().cost_analysis()
+                tflops = (tcost or {}).get("flops", 0.0)
+                if tflops:
+                    trunk_mfu = round(100 * tflops / dt_trunk / peak, 2)
+            except Exception:
+                pass
+            encode_stats = {
+                "encode_ms_per_batch": round(1e3 * dt_enc, 2),
+                "encode_xla_ms_per_batch": round(1e3 * dt_enc_xla, 2),
+                "trunk_fused_ms_per_batch": round(1e3 * dt_trunk, 2),
+                "trunk_xla_ms_per_batch": round(1e3 * dt_trunk_xla, 2),
+                "transformer_encoder_ms_per_batch":
+                    round(1e3 * (dt_enc - dt_trunk), 2),
+                "encode_mfu_pct": enc_mfu,
+                "trunk_mfu_pct": trunk_mfu,
+            }
+            print(json.dumps({"metric": "encode_split", **encode_stats}))
 
         if mode in ("trainfull", "all"):
             # featurize-included training (reference train_test.py:152-154):
@@ -235,10 +302,15 @@ def main():
             "unit": "img/s/chip",
             "results": {k: round(v, 2) for k, v in results.items()},
         }
+        if mode in ("encode", "all"):
+            record["encode_stats"] = encode_stats
         if os.path.exists(out_path):
             with open(out_path) as f:
-                prev = json.load(f).get("results", {})
-            record["results"] = {**prev, **record["results"]}
+                prev = json.load(f)
+            record["results"] = {**prev.get("results", {}),
+                                 **record["results"]}
+            if "encode_stats" in prev and "encode_stats" not in record:
+                record["encode_stats"] = prev["encode_stats"]
         with open(out_path, "w") as f:
             json.dump(record, f, indent=2)
             f.write("\n")
