@@ -290,6 +290,37 @@ def main():
             results["train_featurize_included"] = \
                 BATCH * (STEPS - SHORT) / (t_long - t_short)
 
+            # cached-plain-view training: the plain contrastive view is
+            # deterministic and the DETR is frozen, so its features are
+            # epoch-invariant — precompute once (tools/
+            # precompute_features.py + the native SGRC train pipeline,
+            # main.py native_batches) and only the per-epoch jittered
+            # view is encoded each batch.  Identical training math to the
+            # reference's recompute-both (train_test.py:152-154); half
+            # the encode per step.
+            def cached_batch(st, i):
+                b = dict(tbatch)
+                b.pop("features_aug", None)    # keep cached plain feats
+                b["image_aug"] = dbatches[i % STEPS]
+                b = featurize(b)               # encodes aug view only
+                return tstep(st, b, key2)
+
+            def chain_cached(st, n):
+                m = None
+                for i in range(n):
+                    st, m = cached_batch(st, i)
+                return st, float(m["loss"])
+
+            tstate, _ = chain_cached(tstate, SHORT)
+            t0 = time.perf_counter()
+            tstate, _ = chain_cached(tstate, SHORT)
+            t_short = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            tstate, _ = chain_cached(tstate, STEPS)
+            t_long = time.perf_counter() - t0
+            results["train_cached_plain_view"] = \
+                BATCH * (STEPS - SHORT) / (t_long - t_short)
+
     for k, v in results.items():
         print(json.dumps({"metric": f"{k}_images_per_sec_per_chip",
                           "value": round(v, 2), "unit": "img/s"}))
