@@ -193,7 +193,14 @@ class Evaluator:
         rel_m = t_rel[:, None] == rel[order][None]
         full = lab & iou_s & iou_o & rel_m
         has = full.any(axis=1)
-        jstar = np.where(has, full.argmax(axis=1), np.iinfo(np.int64).max)
+        if full.shape[1]:
+            jstar = np.where(has, full.argmax(axis=1),
+                             np.iinfo(np.int64).max)
+        else:
+            # zero candidates for this image (e.g. every detection pair
+            # failed the overlap filter): no hits, targets still counted —
+            # same as the reference's empty per-image candidate list
+            jstar = np.full(len(t_rel), np.iinfo(np.int64).max)
 
         if self.zs_table is not None:
             tid = (t_sub_cat.astype(np.int64) * self.num_classes + t_rel) \

@@ -221,3 +221,24 @@ def test_top3_matches_oracle(rng):
         assert ev.hits[k] == hits[k], k
         assert ev.hits_top1[k] == hits1[k], k
     assert ev.num_targets == n_t
+
+
+def test_zero_candidate_image_counts_targets(rng):
+    """An image whose every candidate was filtered out (e.g. all detection
+    pairs failed the overlap filter in SGDET) contributes its targets to
+    the R@k denominator with zero hits — the reference's empty per-image
+    candidate list does the same (reference evaluator.py:294-356)."""
+    empty = lambda *s: np.zeros(s)
+    cand = Candidates(img=empty(0), conf=empty(0), rel=empty(0).astype(int),
+                      sub_cat=empty(0).astype(int),
+                      obj_cat=empty(0).astype(int),
+                      sub_box=empty(0, 4), obj_box=empty(0, 4))
+    tgt = Targets(img=np.zeros(3, int), rel=np.asarray([1, 2, -1]),
+                  sub_cat=np.asarray([0, 1, 0]),
+                  obj_cat=np.asarray([1, 0, 1]),
+                  sub_box=np.tile([0, 4, 0, 4], (3, 1)).astype(float),
+                  obj_box=np.tile([2, 6, 2, 6], (3, 1)).astype(float))
+    ev = Evaluator(num_classes=NUM_REL, top_k=TOP_K)
+    ev.accumulate(cand, tgt)
+    assert ev.num_targets == 2.0           # the -1 padding row dropped
+    assert all(ev.hits[k] == 0.0 for k in TOP_K)
