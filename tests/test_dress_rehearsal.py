@@ -132,6 +132,16 @@ def test_full_ladder(mini_vg):
     out = run_cli(mini_vg, "--run_mode", "train_cs", "--eval_mode", "pc",
                   "--hierar")
     assert (tmp / "ckpt" / "HierRelationModel_CS_motif2").exists()
+    # the penalty must be LIVE, not just the checkpoint written: the raw
+    # recorded loss_commonsense (full precision, unlike the 4-decimal
+    # stdout line) nonzero somewhere — the mock LLM rejects ~25% of
+    # edges, so the violated table is non-empty
+    with open(tmp / "results" / "train_results.json") as f:
+        recs = json.load(f)
+    cs_terms = [r["loss_commonsense"] for r in recs
+                if "loss_commonsense" in r]
+    assert cs_terms and any(abs(c) > 0 for c in cs_terms), \
+        f"commonsense term never live: {cs_terms[:8]}"
 
     # ---- eval_cs ----
     out = run_cli(mini_vg, "--run_mode", "eval_cs", "--eval_mode", "pc",
@@ -160,6 +170,104 @@ def test_full_ladder(mini_vg):
     out = run_cli(mini_vg, "--run_mode", "eval", "--eval_mode", "pc",
                   "--hierar", "--predictor", "motifs", "--tde")
     assert "recall" in _last_json(out)
+
+
+@pytest.mark.slow
+def test_full_loss_training(mini_vg):
+    """The flagship loss configuration — SupCon contrastive term active
+    (lambda_contrast > 0) AND faithful_dynamics (the reference's
+    per-direction triangular re-accumulation + dynamic LR factor,
+    reference train_test.py:260-272) — trains end to end: every printed
+    loss term stays finite and eval recall still beats chance.
+
+    The main ladder trains with lambda_contrast 0 because SupCon at the
+    reference's weight drowns the relation gradient on the toy grammar;
+    this leg runs the full composition at a gentler LR to prove the
+    jitted step is stable with every term live."""
+    tmp = mini_vg["tmp"]
+    base = open(mini_vg["cfg"]).read()
+    (tmp / "ckpt_full").mkdir(exist_ok=True)
+    (tmp / "results_full").mkdir(exist_ok=True)
+    cfg = base.replace("lambda_contrast: 0.0", "lambda_contrast: 1.0")
+    cfg = cfg.replace("learning_rate: 0.003", "learning_rate: 0.001")
+    cfg = cfg.replace(f"checkpoint_path: {tmp}/ckpt/",
+                      f"checkpoint_path: {tmp}/ckpt_full/")
+    cfg = cfg.replace(f"result_path: {tmp}/results/",
+                      f"result_path: {tmp}/results_full/")
+    cfg += "  faithful_dynamics: true\n"
+    assert "lambda_contrast: 1.0" in cfg and "faithful_dynamics" in cfg
+    cfg_path = tmp / "mini_full_loss.yaml"
+    cfg_path.write_text(cfg)
+    mini = dict(mini_vg, cfg=str(cfg_path))
+
+    out = run_cli(mini, "--run_mode", "train", "--eval_mode", "pc",
+                  "--hierar")
+    assert (tmp / "ckpt_full" / "HierRelationModel_Baseline_motif2"
+            ).exists()
+    # every printed loss term finite, and the contrast term actually live
+    loss_terms = re.findall(r"(\w+)=([-\w.]+)", out)
+    assert loss_terms, out[-2000:]
+    bad = [(k, v) for k, v in loss_terms
+           if v in ("nan", "inf", "-inf") or "nan" in v]
+    assert not bad, f"non-finite loss terms {bad}\n{out[-2000:]}"
+    contrast = [float(v) for k, v in loss_terms if k == "contrast"]
+    assert contrast and any(abs(c) > 1e-6 for c in contrast), \
+        f"contrast term never live: {contrast[:5]}"
+
+    out = run_cli(mini, "--run_mode", "eval", "--eval_mode", "pc",
+                  "--hierar")
+    res = _last_json(out)
+    assert res["recall"][2] > 0.1, res
+
+
+@pytest.mark.slow
+def test_sgrc_native_training(mini_vg):
+    """Training routed through the C++ SGRC pipeline: v2 records with
+    embedded images (tools/preprocess_vg.py --embed-images), per-epoch
+    ColorJitter + Pillow-exact resize on native threads
+    (data/native/sgc_pack.cc), the Python side only drawing the RNG
+    sample.  Trains through the CLI to the same above-chance recall as
+    the Python-loader ladder — the input-pipeline serialization the
+    reference suffers (train_test.py:52, num_workers=0) is beaten on the
+    path where epochs are actually spent."""
+    tmp = mini_vg["tmp"]
+    sgrc_dir = tmp / "sgrc_train"
+    proc = subprocess.run(
+        [sys.executable, "tools/preprocess_vg.py", "--stage", "sgrecords",
+         "--split", "train", "--out", str(sgrc_dir), "--embed-images",
+         "--config", mini_vg["cfg"]],
+        cwd=ROOT, env=dict(os.environ, JAX_PLATFORMS="cpu"),
+        capture_output=True, text=True, timeout=600)
+    assert proc.returncode == 0, \
+        f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}"
+    n_recs = len(list(sgrc_dir.glob("*.sgrec")))
+    assert n_recs >= 30, proc.stdout
+
+    base = open(mini_vg["cfg"]).read()
+    (tmp / "ckpt_sgrc").mkdir(exist_ok=True)
+    (tmp / "results_sgrc").mkdir(exist_ok=True)
+    cfg = base.replace(f"checkpoint_path: {tmp}/ckpt/",
+                       f"checkpoint_path: {tmp}/ckpt_sgrc/")
+    cfg = cfg.replace(f"result_path: {tmp}/results/",
+                      f"result_path: {tmp}/results_sgrc/")
+    train_cfg = cfg.replace("data:\n", f"data:\n  sgrc_dir: {sgrc_dir}\n")
+    assert "sgrc_dir" in train_cfg
+    cfg_path = tmp / "mini_sgrc.yaml"
+    cfg_path.write_text(train_cfg)
+
+    out = run_cli(dict(mini_vg, cfg=str(cfg_path)),
+                  "--run_mode", "train", "--eval_mode", "pc", "--hierar")
+    assert (tmp / "ckpt_sgrc" / "HierRelationModel_Baseline_motif2"
+            ).exists()
+    # in-training test eval falls back to the Python loader (no feature
+    # cache), so recall here compares native-trained weights on the same
+    # test pixels the main ladder used
+    eval_cfg_path = tmp / "mini_sgrc_eval.yaml"
+    eval_cfg_path.write_text(cfg)
+    out = run_cli(dict(mini_vg, cfg=str(eval_cfg_path)),
+                  "--run_mode", "eval", "--eval_mode", "pc", "--hierar")
+    res = _last_json(out)
+    assert res["recall"][2] > 0.2, res
 
 
 @pytest.fixture(scope="module")
