@@ -73,7 +73,7 @@ def check_pair_overflow(out, warned: list, log_fn=None) -> bool:
 
 def _accumulate_batch(evaluator, ev3, cfg, out, batch, artifacts,
                       use_cs: bool, predcls: bool, cats, boxes,
-                      cat_conf=None):
+                      cat_conf=None, target_keep=None):
     m = cfg.model
     cs_a = cs_v = None
     if use_cs and artifacts is not None:
@@ -86,13 +86,14 @@ def _accumulate_batch(evaluator, ev3, cfg, out, batch, artifacts,
         num_possessive=m.num_possessive, predcls=predcls,
         cat_conf=cat_conf, cs_aligned=cs_a, cs_violated=cs_v,
         num_obj_classes=m.num_classes)
-    keep = None
+    keep = target_keep
     if cfg.training.faithful_eval_targets:
         # deviation 4: drop targets of pair columns whose overlap filter
         # failed for every image in this batch (eval/builders docstring)
-        keep = eval_column_keep(np.asarray(batch["boxes"]),
-                                np.asarray(batch["valid"]),
-                                cfg.model.feature_size)
+        col = eval_column_keep(np.asarray(batch["boxes"]),
+                               np.asarray(batch["valid"]),
+                               cfg.model.feature_size)
+        keep = col if keep is None else (keep & col)
     tgt = build_targets(np.asarray(batch["rel"]), np.asarray(batch["cats"]),
                         np.asarray(batch["boxes"]),
                         np.asarray(batch["valid"]), keep=keep)
@@ -285,10 +286,15 @@ def run_eval_sgc(cfg, model, params, batches: Iterable[Dict],
         # The reference adds the RAW class confidences (softmax prob x IoU)
         # to the log-space relation confidence (reference
         # evaluator.py:164-166, utils.py:410-418) — replicated as-is.
+        # The reference's SGCLS targets ALSO come from match_target_sgd
+        # (reference evaluate.py:597), so the faithful last-object-row
+        # drop applies here exactly as in run_eval_sgd.
+        tk = (sgd_target_keep(np.asarray(batch["valid"]))
+              if cfg.training.faithful_sgd_targets else None)
         _accumulate_batch(ev, None, cfg, out, batch,
                           artifacts, use_cs, predcls=False,
                           cats=cats, boxes=boxes,
-                          cat_conf=conf)
+                          cat_conf=conf, target_keep=tk)
     return _results(cfg, ev, ev3)
 
 

@@ -1,0 +1,597 @@
+"""Whole-engine SGDET / SGCLS parity against the LIVING reference.
+
+Closes VERDICT r2 missing #1: the detection eval chains — full DETR forward,
+top-2 class candidates, alphabetical->frequency remap, cxcywh->xyxy box
+conversion, per-class NMS@0.5, predicted-mask pair loop, class-confidence
+composition, and the unmatched-target sets — had only piecewise coverage.
+Here the SAME images flow through
+
+  reference: evaluate.eval_sgd / eval_sgc (/root/reference/evaluate.py:
+             230-461 / 464-703), CPU-patched, float64, with a shared
+             random-weight DETR twin (tests/torch_detr.py) and a real
+             torch implementation injected for the stubbed
+             torchvision.ops.nms;
+  ours:      eval.engines.run_eval_sgd / run_eval_sgc with the converted
+             twin weights (models/weights.py), faithful target flags on,
+
+and the final R@k / mR@k / zsR@k / target counts are asserted equal.
+Float64 everywhere so cross-framework rank flips cannot occur: candidate
+confidences differ by ~1e-12 while distinct-confidence margins are O(0.01).
+
+The featurize path (square image -> encoder features feeding the relation
+head) runs the REAL twin on both sides — that cross-framework forward is
+already f64-parity-proven (tests/test_detr_torch_parity.py).  The detection
+head outputs (pred_logits / pred_boxes) are instead SYNTHESIZED by one
+deterministic numpy function shared bit-identically by both sides: a
+random-weight decoder collapses to near-identical per-query outputs, whereas
+the synthetic head gives controlled, diverse detections that exercise every
+postprocess path — marginal queries whose top-2 includes the no-object class
+(the cat_mask drop, reference evaluate.py:323-324), same-class overlapping
+boxes that NMS must suppress, and per-image detection-count variation.
+
+GROUND TRUTH IS SELF-CONSISTENT: with a random-weight relation head, the
+chance that a random GT predicate equals a branch-argmax candidate
+(reference evaluator.py:160-174 keeps 3 candidates per directed pair) is
+~1/15 — a random fixture yields recall == 0 on BOTH sides, which proves
+nothing.  Instead the fixture derives GT from the predictions themselves:
+GT objects are a subset of this framework's own detections (boxes equal a
+predicted box exactly, so IoU matching is non-marginal) plus unmatchable
+decoys, and most GT predicates come from an ORACLE PASS through this
+framework's jitted eval step (the best-branch candidate predicate for that
+directed slot pair).  Recall is then nonzero on the reference side if and
+only if the reference's chain — detections, remap, NMS, pair filter,
+forward, confidence composition, matching — reproduces ours: the parity
+property itself.  Decoy objects and deliberately-wrong predicates keep
+recall strictly inside (0, 1) so the denominators are exercised too.
+"""
+
+import os
+import shutil
+import sys
+import tempfile
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if ROOT not in sys.path:
+    sys.path.insert(0, ROOT)
+
+from scene_graph_commonsense_tpu.config import derive
+from scene_graph_commonsense_tpu.data.artifacts import load_vg_artifacts
+from scene_graph_commonsense_tpu.eval import engines
+from scene_graph_commonsense_tpu.models.detr import DETR
+from scene_graph_commonsense_tpu.models.relation_head import (
+    make_relation_classifier)
+from scene_graph_commonsense_tpu.models.weights import (
+    convert_detr_state_dict, convert_relation_state_dict)
+from scene_graph_commonsense_tpu.train import engine as engine_lib
+
+from reference_shim import REFERENCE_DIR, _install_stubs, import_reference
+from torch_detr import TorchDETR, randomize_bn_stats
+
+ref_model, _ = import_reference()
+
+FS = 8                  # feature grid / mask resolution
+IMG_SQ = 256            # square featurize view (256/32 = 8 grid)
+IMG_NONSQ = 64          # detection view (tiny; box quality is irrelevant)
+BATCH = 6
+MAX_DET = 20            # static detection slot bound (asserted unhit)
+NUM_QUERIES = 100       # reference evaluate.py:313 hardcodes .view(-1, 100, k)
+BLOCKS, N_ENC, N_DEC = (1, 1, 1, 1), 2, 2
+N_ANCHOR = 5            # GT objects copied from predicted detections
+N_DECOY = 2             # unmatchable random GT objects
+
+
+# ---------------------------------------------------------------------------
+# Synthetic detection head (shared bit-identically by both frameworks)
+# ---------------------------------------------------------------------------
+
+def _make_synth():
+    """Deterministic numpy detection head: images (B,3,H,W) f64 ->
+    (pred_logits (B,Q,151), pred_boxes (B,Q,4) cxcywh in [0,1]).
+
+    Design: 4 always-active queries with distinct (class, box-cluster)
+    combos (>=4 NMS survivors per image), 4 marginal queries whose
+    object-vs-no-object margin flips with an image-dependent term (so
+    detection counts vary per image AND the no-object class lands in the
+    top-2 of active marginal queries, exercising the cat_mask drop), and
+    4 always-active DUPLICATES of the first four (same class, same box
+    cluster) that per-class NMS must suppress.  Worst case 12 active
+    queries x top-2 = 24 candidates minus the >=4 guaranteed
+    suppressions stays under MAX_DET (asserted)."""
+    r = np.random.default_rng(77)
+    pool = np.sort(r.choice(150, 5, replace=False))          # alphabetical ids
+    q_cls = pool[r.integers(0, 5, NUM_QUERIES)]
+    q_cls[:4] = pool[:4]
+    q_cls[8:12] = pool[:4]                                   # NMS fodder
+    base = 0.15 * r.standard_normal((NUM_QUERIES, 151))
+    base[np.arange(NUM_QUERIES), q_cls] += 4.0
+    no_obj = np.full(NUM_QUERIES, 9.0)
+    no_obj[:4] = -4.0                                        # always active
+    no_obj[4:8] = 4.0                                        # marginal band
+    no_obj[8:12] = -4.0                                      # dup actives
+    base[:, 150] = no_obj
+
+    centers = r.uniform(0.3, 0.7, (4, 2))
+    cl = r.integers(0, 4, NUM_QUERIES)
+    cl[:4] = np.arange(4)
+    cl[8:12] = np.arange(4)
+    cxy = centers[cl] + r.uniform(-0.04, 0.04, (NUM_QUERIES, 2))
+    wh = 0.45 + r.uniform(-0.06, 0.06, (NUM_QUERIES, 2))
+    base_boxes = np.concatenate([cxy, wh], 1)
+    readout = r.standard_normal((3, NUM_QUERIES))
+
+    def synth(images):
+        images = np.asarray(images, np.float64)
+        feat = images.mean(axis=(2, 3))                      # (B, 3)
+        t = np.tanh(50.0 * feat @ readout)                   # (B, Q)
+        logits = np.tile(base, (images.shape[0], 1, 1))
+        logits[:, :, 150] += 0.3 * t
+        boxes = np.tile(base_boxes, (images.shape[0], 1, 1))
+        boxes[:, :, :2] += 0.03 * t[:, :, None]
+        return logits, np.clip(boxes, 0.02, 0.98)
+
+    from scene_graph_commonsense_tpu.constants import OBJ_ALP2FRE
+    info = dict(pool_freq=np.asarray(OBJ_ALP2FRE)[pool], centers=centers)
+    return synth, info
+
+
+SYNTH_DETECT, SYNTH_INFO = _make_synth()
+
+
+# ---------------------------------------------------------------------------
+# torchvision.ops.nms: real implementation for the stub
+# ---------------------------------------------------------------------------
+
+def torch_nms(boxes, scores, iou_threshold):
+    """Greedy NMS with torchvision semantics: descending-score order,
+    suppress IoU > threshold, return kept indices in keep order."""
+    order = torch.argsort(scores, descending=True)
+    keep = []
+    while order.numel() > 0:
+        i = order[0]
+        keep.append(i)
+        if order.numel() == 1:
+            break
+        rest = order[1:]
+        x1 = torch.maximum(boxes[i, 0], boxes[rest, 0])
+        y1 = torch.maximum(boxes[i, 1], boxes[rest, 1])
+        x2 = torch.minimum(boxes[i, 2], boxes[rest, 2])
+        y2 = torch.minimum(boxes[i, 3], boxes[rest, 3])
+        inter = (x2 - x1).clamp(min=0) * (y2 - y1).clamp(min=0)
+        area_i = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+        areas = (boxes[rest, 2] - boxes[rest, 0]) \
+            * (boxes[rest, 3] - boxes[rest, 1])
+        iou = inter / (area_i + areas - inter)
+        order = rest[iou <= iou_threshold]
+    return torch.stack(keep)
+
+
+# ---------------------------------------------------------------------------
+# Shared twin + our model stack
+# ---------------------------------------------------------------------------
+
+def _build_twins():
+    """(torch DETR, torch relation classifier) with fixed seeds, float64.
+    The twin's featurize path is real; its detection head is replaced by
+    SYNTH_DETECT on both sides (see module docstring)."""
+    torch.manual_seed(11)
+    tm = TorchDETR(blocks=BLOCKS, n_enc=N_ENC, n_dec=N_DEC)
+    randomize_bn_stats(tm, generator=torch.Generator().manual_seed(11))
+    tm = tm.double().eval()
+
+    from reference_shim import reference_args
+    args = reference_args()
+    args["models"]["feature_size"] = FS
+    args["models"]["image_size"] = IMG_SQ
+    torch.manual_seed(12)
+    rm = ref_model.BayesianRelationClassifier(
+        args, input_dim=128, feature_size=FS).double().eval()
+    return tm, rm
+
+
+def _our_stack(mode, tm, rm):
+    """cfg + converted params + jitted pieces for this framework's side."""
+    cfg = derive(
+        "vg", hierarchical_pred=True, run_mode="eval", eval_mode=mode,
+        model={"feature_size": FS, "image_size": IMG_SQ, "hidden_dim": 128,
+               "compute_dtype": "float64", "topk_cat": 2, "nms_iou": 0.5,
+               "fused_backbone": "off"},
+        data={"max_objects": MAX_DET},
+        training={"batch_size": BATCH, "faithful_sgd_targets": True,
+                  "faithful_eval_targets": False,
+                  "sgcls_top2_duplicates": True})
+
+    detr_params = convert_detr_state_dict(
+        {k: v.double().numpy() for k, v in tm.state_dict().items()},
+        num_encoder_layers=N_ENC, num_decoder_layers=N_DEC, blocks=BLOCKS)
+    jm = DETR(num_encoder_layers=N_ENC, num_decoder_layers=N_DEC,
+              backbone_blocks=BLOCKS, dtype=jnp.float64)
+    rel_params = convert_relation_state_dict(
+        {k: v.double().numpy() for k, v in rm.state_dict().items()},
+        hierarchical=True, hidden_dim=128, feature_size=FS)
+    model = make_relation_classifier(cfg)
+    art = load_vg_artifacts(os.path.join(ROOT, "datasets/artifacts"))
+
+    from scene_graph_commonsense_tpu.constants import OBJ_ALP2FRE
+    from scene_graph_commonsense_tpu.ops.detection import (
+        postprocess_detections)
+
+    def detect_fn(b):
+        images = np.asarray(b["image_nonsq"]).transpose(0, 3, 1, 2)
+        logits, boxes = SYNTH_DETECT(images)
+        return postprocess_detections(
+            jnp.asarray(logits), jnp.asarray(boxes), OBJ_ALP2FRE,
+            num_classes=cfg.model.num_classes, topk_cat=cfg.model.topk_cat,
+            feature_size=cfg.model.feature_size, nms_iou=cfg.model.nms_iou,
+            max_objects=cfg.data.max_objects)
+
+    return dict(cfg=cfg, jm=jm, detr_params=detr_params,
+                rel_params=rel_params, model=model, art=art,
+                detect_fn=detect_fn)
+
+
+def _images(rng):
+    return dict(
+        imgs_sq=rng.standard_normal((BATCH, 3, IMG_SQ, IMG_SQ)),
+        imgs_nonsq=rng.standard_normal((BATCH, 3, IMG_NONSQ, IMG_NONSQ)),
+        depth=rng.random((BATCH, 1, FS, FS)))
+
+
+def _encode_features(stack, data):
+    imgs_sq = jnp.asarray(data["imgs_sq"].transpose(0, 2, 3, 1))
+    return stack["jm"].apply(
+        stack["detr_params"], imgs_sq,
+        jnp.ones((BATCH, IMG_SQ, IMG_SQ), bool),
+        method=DETR.encode_features)
+
+
+def _oracle_pass(stack, feats, data, det):
+    """Runs this framework's jitted eval step once on the SGDET slot grid
+    (the same jit run_eval_sgd uses) and returns its packed-pair output —
+    the source of the self-consistent GT predicates."""
+    cfg = stack["cfg"]
+    batch = {
+        "features": feats,
+        "depth": data["depth"].transpose(0, 2, 3, 1),
+        "cats": det["cats"],
+        "boxes": det["boxes"],
+        "valid": det["valid"],
+        "rel": np.full((BATCH, MAX_DET, MAX_DET), -1, np.int32),
+        "super_mh": stack["art"].sub2super[det["cats"]].astype(np.float64),
+    }
+    estep = engine_lib.make_eval_step(stack["model"], cfg)
+    return jax.tree.map(np.asarray, estep(stack["rel_params"], batch))
+
+
+def _best_branch_rel(relation_row, ng, npos):
+    """The highest-confidence of the 3 branch-argmax candidates the
+    hierarchical evaluator keeps per directed pair (reference
+    evaluator.py:160-174); shared confidence terms cancel."""
+    blocks = [(relation_row[:ng], 0), (relation_row[ng:ng + npos], ng),
+              (relation_row[ng + npos:], ng + npos)]
+    best = max(blocks, key=lambda b: b[0].max())
+    return int(best[0].argmax()) + best[1]
+
+
+def _derive_gt(rng, cfg, det, out):
+    """Builds the GT scenes: per image, N_ANCHOR GT objects copied from
+    predicted detections + N_DECOY unmatchable decoys; most GT predicates
+    are the oracle best-branch candidate for that directed slot pair
+    (see module docstring), ~20% deliberately wrong, decoy edges
+    unmatchable — so recall lands strictly inside (0, 1)."""
+    ng, npos = cfg.model.num_geometric, cfg.model.num_possessive
+    pair_idx = {}
+    for p in range(len(out["pair_img"])):
+        if out["pair_mask"][p]:
+            pair_idx[(int(out["pair_img"][p]), int(out["pair_sub"][p]),
+                      int(out["pair_obj"][p]))] = p
+
+    n_max = MAX_DET
+    gt_boxes = np.zeros((BATCH, n_max, 4))
+    gt_valid = np.zeros((BATCH, n_max), bool)
+    gt_cats = np.zeros((BATCH, n_max), np.int32)
+    rel = np.full((BATCH, n_max, n_max), -1, np.int32)
+    counts = np.zeros(BATCH, np.int64)
+    scenes = []
+    from scene_graph_commonsense_tpu.ops.pairs import directed_rel_from_lower
+    for bi in range(BATCH):
+        slots = np.nonzero(det["valid"][bi])[0]
+        anchors = np.sort(rng.choice(slots, min(N_ANCHOR, len(slots)),
+                                     replace=False))
+        ka = len(anchors)
+        n = ka + N_DECOY
+        boxes = np.zeros((n, 4))
+        cats = np.zeros(n, np.int64)
+        boxes[:ka] = det["boxes"][bi, anchors]
+        cats[:ka] = det["cats"][bi, anchors]
+        for d in range(N_DECOY):            # decoys: boxes off the clusters
+            x0, y0 = rng.integers(0, 2, 2)
+            boxes[ka + d] = [x0, x0 + 2, y0, y0 + 2]
+            cats[ka + d] = rng.integers(0, 150)
+        sup = [sorted(rng.choice(17, rng.integers(1, 4), replace=False))
+               for _ in range(n)]
+
+        rel_rows, dir_rows = [], []
+        for i in range(1, n):
+            row = np.full(i, -1, np.int64)
+            direction = np.full(i, -1.0)
+            for j in range(i):
+                if i < ka and j < ka:       # anchor-anchor: oracle GT
+                    if rng.random() > 0.75:
+                        continue
+                    d = int(rng.integers(0, 2))
+                    sub, obj = (anchors[i], anchors[j]) if d == 1 \
+                        else (anchors[j], anchors[i])
+                    p = pair_idx.get((bi, int(sub), int(obj)))
+                    if p is None or not out["iou_ok"][p]:
+                        continue            # pair failed the overlap filter
+                    if rng.random() < 0.8:
+                        row[j] = _best_branch_rel(out["relation"][p],
+                                                  ng, npos)
+                    else:                   # deliberately-wrong predicate
+                        row[j] = rng.integers(0, 50)
+                    direction[j] = float(d)
+                elif i >= ka and rng.random() < 0.4:
+                    row[j] = rng.integers(0, 50)    # unmatchable decoy edge
+                    direction[j] = float(rng.integers(0, 2))
+            rel_rows.append(row)
+            dir_rows.append(direction)
+
+        gt_boxes[bi, :n] = boxes
+        gt_valid[bi, :n] = True
+        gt_cats[bi, :n] = cats
+        rel[bi] = directed_rel_from_lower(rel_rows, dir_rows, n, n_max)
+        counts[bi] = n
+        scenes.append(dict(cats=cats, sup=sup, boxes=boxes,
+                           rel_rows=rel_rows, dir_rows=dir_rows))
+    return dict(gt_boxes=gt_boxes, gt_valid=gt_valid, gt_cats=gt_cats,
+                rel=rel, scenes=scenes, counts=counts)
+
+
+class _RefEvalDataset:
+    """Reference eval-mode __getitem__ tuple (dataloader.py:161-163)."""
+
+    def __init__(self, data):
+        self.d = data
+
+    def __len__(self):
+        return BATCH
+
+    def __getitem__(self, i):
+        d = self.d
+        sc = d["scenes"][i]
+        return (torch.from_numpy(d["imgs_sq"][i]),
+                torch.from_numpy(d["imgs_nonsq"][i]),
+                torch.from_numpy(d["depth"][i]),
+                torch.from_numpy(sc["cats"].astype(np.int64)),
+                [torch.as_tensor(s) for s in sc["sup"]],
+                torch.from_numpy(sc["boxes"]),
+                [torch.from_numpy(np.asarray(r)) for r in sc["rel_rows"]],
+                [torch.from_numpy(np.asarray(dd)) for dd in sc["dir_rows"]],
+                f"parity_{i}_annotations.pkl")
+
+
+def _full_hub_detr(inner):
+    """Hub-interface wrapper exposing BOTH the featurize path
+    (backbone / input_proj / transformer.encoder, reference
+    train_utils.py:9-18, REAL twin weights) and the detection forward
+    (reference evaluate.py:309, the shared SYNTH_DETECT head),
+    float64-clean."""
+    import torch.nn as nn
+
+    import utils as ref_utils
+
+    from torch_detr import sine_position_embedding
+
+    class HubJoiner(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.body = inner.backbone[0].body
+
+        def forward(self, ntensor):
+            feat = self.body(ntensor.tensors)
+            mask = torch.nn.functional.interpolate(
+                ntensor.mask[:, None].double(),
+                size=feat.shape[-2:]).bool()[:, 0]
+            pos = sine_position_embedding(~mask, 128)
+            return [ref_utils.NestedTensor(feat, mask)], [pos]
+
+    class HubEncoder(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.layers = inner.transformer.encoder.layers
+
+        def forward(self, src, src_key_padding_mask=None, pos=None):
+            out = src
+            for layer in self.layers:
+                out = layer(out, pos, src_key_padding_mask)
+            return out
+
+    class HubTransformer(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.encoder = HubEncoder()
+
+    class HubDETR(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.backbone = HubJoiner()
+            self.input_proj = inner.input_proj
+            self.transformer = HubTransformer()
+            self.inner = inner
+
+        def forward(self, ntensor):
+            logits, boxes = SYNTH_DETECT(ntensor.tensors.cpu().numpy())
+            return {"pred_logits": torch.from_numpy(logits),
+                    "pred_boxes": torch.from_numpy(boxes)}
+
+    return HubDETR()
+
+
+# ---------------------------------------------------------------------------
+# Reference side
+# ---------------------------------------------------------------------------
+
+def _run_reference(mode, data, tm, rm, tmp):
+    """Runs the LIVING evaluate.eval_sgd / eval_sgc, captures the final
+    compute()."""
+    _install_stubs()
+    if REFERENCE_DIR not in sys.path:
+        sys.path.insert(0, REFERENCE_DIR)
+    import torchvision
+    torchvision.ops.nms = torch_nms
+
+    from tools.bench_reference import _patch_torch_cpu
+    _patch_torch_cpu(torch)
+    prev_dtype = torch.get_default_dtype()
+    torch.set_default_dtype(torch.float64)
+    try:
+        import evaluate
+
+        evaluate.build_detr101 = lambda a: _full_hub_detr(tm)
+
+        annot = f"{REFERENCE_DIR}/datasets/vg_scene_graph_annot"
+        import yaml
+        with open(os.path.join(REFERENCE_DIR, "config.yaml")) as f:
+            args = yaml.safe_load(f)
+        args["dataset"].update({
+            "dataset": "vg", "supcat_clustering": "motif",
+            "train_triplets": f"{annot}/train_triplets.pt",
+            "test_triplets": f"{annot}/test_triplets.pt",
+            "zero_shot_triplets": f"{annot}/zero_shot_triplets.pt",
+            "sub2super_cat_dict": f"{annot}/sub2super_cat_dict.pt",
+        })
+        args["models"].update({
+            "hierarchical_pred": True, "num_classes": 150,
+            "num_super_classes": 17, "num_geometric": 15,
+            "num_possessive": 11, "num_semantic": 24, "num_relations": 50,
+            "feature_size": FS, "image_size": IMG_SQ, "hidden_dim": 128,
+            "num_img_feature": 256, "use_depth": True,
+            "llm_model": "gpt3.5", "topk_cat": 2, "nms": 0.5,
+        })
+        args["training"].update({
+            "run_mode": "eval", "eval_mode": mode, "batch_size": BATCH,
+            "test_epoch": 0, "eval_freq_test": 1, "print_freq_test": 1,
+            "result_path": tmp + "/", "checkpoint_path": tmp + "/",
+            "save_vis_results": False, "verbose": False,
+        })
+        state = {f"module.{k}": v for k, v in rm.state_dict().items()}
+        torch.save(state, os.path.join(
+            tmp, "HierRelationModel_Baseline_motif_0_0.pth"))
+
+        captured = {}
+        RefEval = evaluate.Evaluator
+
+        class Capturing(RefEval):
+            def compute(self, per_class=False, predcls=True):
+                out = super().compute(per_class, predcls)
+                recall, _, mean_recall, recall_zs, _, mean_recall_zs = out
+                captured.update(
+                    recall=[float(r) for r in recall],
+                    mean_recall=[float(r) for r in mean_recall],
+                    recall_zs=[float(r) for r in recall_zs],
+                    mean_recall_zs=[float(r) for r in mean_recall_zs],
+                    num_targets=float(self.num_connected_target))
+                return out
+
+        evaluate.Evaluator = Capturing
+        ds = _RefEvalDataset(data)
+        try:
+            fn = evaluate.eval_sgd if mode == "sgd" else evaluate.eval_sgc
+            fn(0, args, ds)
+        finally:
+            evaluate.Evaluator = RefEval
+            import torch.distributed as dist
+            if dist.is_initialized():
+                dist.destroy_process_group()
+        assert captured, "reference eval never reached compute()"
+        return captured
+    finally:
+        torch.set_default_dtype(prev_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Fixture sanity
+# ---------------------------------------------------------------------------
+
+def _check_detections(det, imgs_nonsq):
+    """The synthetic head must give every image a moderate, varied number
+    of detections AND actually exercise NMS (more post-cat_mask candidates
+    than survivors)."""
+    from scene_graph_commonsense_tpu.constants import OBJ_ALP2FRE
+    per_img = det["valid"].sum(1)
+    assert per_img.max() < MAX_DET, \
+        f"detection slots saturated ({per_img}); raise MAX_DET"
+    assert per_img.min() >= 2, f"an image lost all detections ({per_img})"
+    logits, _ = SYNTH_DETECT(imgs_nonsq)
+    active = np.argmax(logits, -1) < 150                     # (B, Q)
+    top2 = np.argsort(logits, -1)[:, :, ::-1][:, :, :2]      # (B, Q, 2)
+    cand = (active[:, :, None]
+            & (np.asarray(OBJ_ALP2FRE)[top2] != 150)).sum((1, 2))
+    assert (cand > per_img).sum() >= BATCH // 2, (cand, per_img)
+
+
+# ---------------------------------------------------------------------------
+# Tests
+# ---------------------------------------------------------------------------
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["sgd", "sgc"])
+def test_whole_engine_detection_parity(rng, mode):
+    tm, rm = _build_twins()
+    imgs = _images(rng)
+    tmp = tempfile.mkdtemp(prefix=f"engine_parity_{mode}_")
+    try:
+        with jax.enable_x64(True):
+            stack = _our_stack(mode, tm, rm)
+            feats = _encode_features(stack, imgs)
+            det = jax.tree.map(
+                np.asarray,
+                stack["detect_fn"]({"image_nonsq":
+                                    imgs["imgs_nonsq"].transpose(0, 2, 3, 1)}))
+            _check_detections(det, imgs["imgs_nonsq"])
+            oracle = _oracle_pass(stack, feats, imgs, det)
+            data = dict(imgs, **_derive_gt(rng, stack["cfg"], det, oracle))
+            batch_ours = {
+                "features": feats,
+                "depth": imgs["depth"].transpose(0, 2, 3, 1),
+                "cats": data["gt_cats"],
+                "boxes": data["gt_boxes"],
+                "valid": data["gt_valid"],
+                "rel": data["rel"],
+                "super_mh": np.zeros((BATCH, MAX_DET, 17), np.float64),
+                "image_nonsq": imgs["imgs_nonsq"].transpose(0, 2, 3, 1),
+            }
+            runner = (engines.run_eval_sgd if mode == "sgd"
+                      else engines.run_eval_sgc)
+            ours = runner(stack["cfg"], stack["model"], stack["rel_params"],
+                          [batch_ours], stack["detect_fn"],
+                          artifacts=stack["art"])
+        # Self-consistent GT must yield nonzero, non-saturated recall on
+        # OUR side before the reference is even consulted.
+        assert sum(ours["recall"]) > 0, \
+            f"oracle-derived GT produced zero recall on our side: {ours}"
+        assert ours["recall"][-1] < 1.0, \
+            f"recall saturated — decoys not exercising the denominator: {ours}"
+        ref = _run_reference(mode, data, tm, rm, tmp)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    assert sum(ref["recall"]) > 0, (
+        "reference recall is zero while ours is not — the detection chains "
+        f"diverge: ours={ours} ref={ref}")
+    np.testing.assert_allclose(ours["recall"], ref["recall"], atol=1e-12)
+    np.testing.assert_allclose(ours["mean_recall"], ref["mean_recall"],
+                               atol=1e-12)
+    np.testing.assert_allclose(ours["recall_zs"], ref["recall_zs"],
+                               atol=1e-12)
+    np.testing.assert_allclose(ours["mean_recall_zs"],
+                               ref["mean_recall_zs"],
+                               atol=1e-12, equal_nan=True)
+    assert ours["num_targets"] == ref["num_targets"]
