@@ -76,15 +76,25 @@ from torch_detr import TorchDETR, randomize_bn_stats
 
 ref_model, _ = import_reference()
 
-FS = 8                  # feature grid / mask resolution
-IMG_SQ = 256            # square featurize view (256/32 = 8 grid)
+# Geometry knobs: defaults are the fast suite geometry; the
+# production-dims record (ENGINE_PARITY_FULLDIMS.json) re-runs this exact
+# module at the reference's real config (/root/reference/config.yaml:28-29:
+# feature_size 32, image_size 1024) via tools/engine_parity_fulldims.py,
+# which sets these env vars before import.
+FS = int(os.environ.get("ENGINE_PARITY_FS", "8"))   # feature grid / masks
+IMG_SQ = FS * 32        # square featurize view (stride-32 trunk)
 IMG_NONSQ = 64          # detection view (tiny; box quality is irrelevant)
-BATCH = 6
+BATCH = int(os.environ.get("ENGINE_PARITY_BATCH", "6"))
 MAX_DET = 20            # static detection slot bound (asserted unhit)
 NUM_QUERIES = 100       # reference evaluate.py:313 hardcodes .view(-1, 100, k)
 BLOCKS, N_ENC, N_DEC = (1, 1, 1, 1), 2, 2
-N_ANCHOR = 5            # GT objects copied from predicted detections
-N_DECOY = 2             # unmatchable random GT objects
+# GROUP sizes the synthetic head's query bands (always-active / marginal /
+# NMS-fodder duplicates); ANCHOR/DECOY size the GT scenes.  The fulldims
+# recorder raises them so the production run also exercises the dense
+# pairs-per-image regime (detections near the 20-slot bound).
+GROUP = int(os.environ.get("ENGINE_PARITY_SYNTH_GROUP", "4"))
+N_ANCHOR = int(os.environ.get("ENGINE_PARITY_ANCHORS", "5"))
+N_DECOY = int(os.environ.get("ENGINE_PARITY_DECOYS", "2"))
 
 
 # ---------------------------------------------------------------------------
@@ -105,22 +115,26 @@ def _make_synth():
     queries x top-2 = 24 candidates minus the >=4 guaranteed
     suppressions stays under MAX_DET (asserted)."""
     r = np.random.default_rng(77)
+    g = GROUP
     pool = np.sort(r.choice(150, 5, replace=False))          # alphabetical ids
     q_cls = pool[r.integers(0, 5, NUM_QUERIES)]
-    q_cls[:4] = pool[:4]
-    q_cls[8:12] = pool[:4]                                   # NMS fodder
+    # (class % 5, cluster % 4) stays a distinct combo for g <= 20 (CRT),
+    # so every always-active query is NMS-distinct; bit-identical to the
+    # original fixture at the default g=4.
+    q_cls[:g] = pool[np.arange(g) % 5]
+    q_cls[2 * g:3 * g] = q_cls[:g]                           # NMS fodder
     base = 0.15 * r.standard_normal((NUM_QUERIES, 151))
     base[np.arange(NUM_QUERIES), q_cls] += 4.0
     no_obj = np.full(NUM_QUERIES, 9.0)
-    no_obj[:4] = -4.0                                        # always active
-    no_obj[4:8] = 4.0                                        # marginal band
-    no_obj[8:12] = -4.0                                      # dup actives
+    no_obj[:g] = -4.0                                        # always active
+    no_obj[g:2 * g] = 4.0                                    # marginal band
+    no_obj[2 * g:3 * g] = -4.0                               # dup actives
     base[:, 150] = no_obj
 
     centers = r.uniform(0.3, 0.7, (4, 2))
     cl = r.integers(0, 4, NUM_QUERIES)
-    cl[:4] = np.arange(4)
-    cl[8:12] = np.arange(4)
+    cl[:g] = np.arange(g) % 4
+    cl[2 * g:3 * g] = cl[:g]
     cxy = centers[cl] + r.uniform(-0.04, 0.04, (NUM_QUERIES, 2))
     wh = 0.45 + r.uniform(-0.06, 0.06, (NUM_QUERIES, 2))
     base_boxes = np.concatenate([cxy, wh], 1)
@@ -541,9 +555,11 @@ def _check_detections(det, imgs_nonsq):
 # Tests
 # ---------------------------------------------------------------------------
 
-@pytest.mark.slow
-@pytest.mark.parametrize("mode", ["sgd", "sgc"])
-def test_whole_engine_detection_parity(rng, mode):
+def run_parity(mode, rng):
+    """Runs both frameworks' whole detection-eval chains on the shared
+    fixture and returns (ours, ref) metric dicts.  Shared by the fast-tier
+    test below and the production-dims recorder
+    (tools/engine_parity_fulldims.py)."""
     tm, rm = _build_twins()
     imgs = _images(rng)
     tmp = tempfile.mkdtemp(prefix=f"engine_parity_{mode}_")
@@ -582,7 +598,10 @@ def test_whole_engine_detection_parity(rng, mode):
         ref = _run_reference(mode, data, tm, rm, tmp)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+    return ours, ref
 
+
+def assert_parity(ours, ref):
     assert sum(ref["recall"]) > 0, (
         "reference recall is zero while ours is not — the detection chains "
         f"diverge: ours={ours} ref={ref}")
@@ -595,3 +614,10 @@ def test_whole_engine_detection_parity(rng, mode):
                                ref["mean_recall_zs"],
                                atol=1e-12, equal_nan=True)
     assert ours["num_targets"] == ref["num_targets"]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("mode", ["sgd", "sgc"])
+def test_whole_engine_detection_parity(rng, mode):
+    ours, ref = run_parity(mode, rng)
+    assert_parity(ours, ref)
