@@ -217,6 +217,15 @@ def prepped_batches(cfg, batches, featurize):
     return map(featurize, batches) if featurize is not None else batches
 
 
+def _result_view(res):
+    """The one-line JSON result record: scalars and metric lists, plus the
+    Top-3 sub-dict (reference main.py:112-123 reports Top-3 alongside the
+    PredCLS metrics; tools/checkpoint_parity.py diffs it)."""
+    return {k: v for k, v in res.items()
+            if (isinstance(v, (int, float, list)) or k == "top3")
+            and k != "recall_per_class"}
+
+
 def init_relation_params(cfg, model):
     import jax
     import jax.numpy as jnp
@@ -236,6 +245,10 @@ def main():
           f"cluster={cfg.data.supcat_clustering}")
 
     import jax
+    if cfg.model.compute_dtype == "float64":
+        # precision knob for parity harnesses (tools/checkpoint_parity.py):
+        # f64 end-to-end kills cross-framework candidate-rank flips
+        jax.config.update("jax_enable_x64", True)
     from scene_graph_commonsense_tpu.data.artifacts import load_vg_artifacts
     from scene_graph_commonsense_tpu.utils.jax_cache import (
         enable_compile_cache)
@@ -304,9 +317,7 @@ def main():
                 cfg, predictor, p, test_fn(0), artifacts=artifacts,
                 featurize=featurize, use_cs=run_mode == "eval_cs",
                 tde=args.tde, mesh=eval_mesh(cfg, mesh))
-            print(json.dumps({k: v for k, v in res.items()
-                              if isinstance(v, (int, float, list))
-                              and k != "recall_per_class"}, default=str))
+            print(json.dumps(_result_view(res), default=str))
         else:
             # prepare_cs collects triplets from the flagship PredCLS path;
             # refuse loudly rather than silently running without --predictor
@@ -367,9 +378,7 @@ def main():
                       "sgc" else engines.run_eval_sgd)
             res = runner(cfg, model, params, batches, detect_fn,
                          artifacts=artifacts, use_cs=use_cs, mesh=em)
-        print(json.dumps({k: v for k, v in res.items()
-                          if isinstance(v, (int, float, list))
-                          and k != "recall_per_class"}, default=str))
+        print(json.dumps(_result_view(res), default=str))
     elif run_mode == "prepare_cs":
         from scene_graph_commonsense_tpu.commonsense.pipeline import (
             run_prepare_cs)

@@ -89,6 +89,13 @@ class ModelConfig:
     # plain XLA path until the kernel is wrapped in shard_map.
     fused_backbone: str = "auto"
     detr_pretrained: str = "checkpoints/detr101_vg.msgpack"
+    # Detector geometry (production = DETR-ResNet101, reference
+    # utils.py:88-120).  Parity/test harnesses shrink these to run the
+    # REAL detection chain at tractable CPU cost
+    # (tools/detection_parity.py).
+    detr_blocks: tuple = (3, 4, 23, 3)
+    detr_enc_layers: int = 6
+    detr_dec_layers: int = 6
 
 
 @dataclass(frozen=True)

@@ -377,5 +377,10 @@ def make_detr(cfg) -> DETR:
     fused = mode == "on" or (mode == "auto"
                              and jax.default_backend() == "tpu"
                              and jax.device_count() == 1)
+    # the fused Pallas trunk is specialized to the ResNet-101 layout
+    fused = fused and tuple(cfg.model.detr_blocks) == (3, 4, 23, 3)
     return DETR(num_classes=num, dtype=jnp.dtype(cfg.model.compute_dtype),
+                num_encoder_layers=cfg.model.detr_enc_layers,
+                num_decoder_layers=cfg.model.detr_dec_layers,
+                backbone_blocks=tuple(cfg.model.detr_blocks),
                 fused_backbone=fused)

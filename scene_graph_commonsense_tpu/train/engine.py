@@ -343,7 +343,9 @@ def make_train_step(model: RelationClassifier, cfg, optimizer,
                                   axis=1)
                 labels = jnp.maximum(pair_targets(batch, packed_c), 0)
                 loss_contrast = L.supcon_hierar_loss(
-                    feats.astype(jnp.float32), labels, found,
+                    feats.astype(jnp.promote_types(feats.dtype,
+                                                   jnp.float32)),
+                    labels, found,
                     cfg.model.num_geometric, cfg.model.num_possessive)
 
             if faithful:
@@ -375,7 +377,10 @@ def make_train_step(model: RelationClassifier, cfg, optimizer,
         if cache_compute:
             (_, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(cparams)
-            grads = jax.tree.map(lambda g: g.astype(jnp.float32), grads)
+            # optimizer math in the master-param dtype (f32 normally;
+            # f64 under the x64 weight-parity harness)
+            grads = jax.tree.map(lambda g, p: g.astype(p.dtype),
+                                 grads, state.params)
         else:
             (_, metrics), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(state.params)

@@ -372,10 +372,16 @@ def compare(d: str, out_path: str, tol: float = 0.01) -> dict:
     max_delta = max((max(v) for v in deltas.values()), default=float("nan"))
     top3 = {}
     if "top3_recall" in ref and "top3" in ours:
-        top3 = {"reference": ref["top3_recall"],
-                "ours": ours["top3"]["recall"],
-                "max_delta": max(abs(a - b) for a, b in zip(
-                    ref["top3_recall"], ours["top3"]["recall"]))}
+        top3 = {"reference": {"recall": ref["top3_recall"],
+                              "mean_recall": ref["top3_mean_recall"]},
+                "ours": {"recall": ours["top3"]["recall"],
+                         "mean_recall": ours["top3"]["mean_recall"]},
+                "max_delta": max(
+                    _delta(a, b) for ra, oa in
+                    (("top3_recall", "recall"),
+                     ("top3_mean_recall", "mean_recall"))
+                    for a, b in zip(ref[ra], ours["top3"][oa]))}
+        max_delta = max(max_delta, top3["max_delta"])
     record = {
         "what": "reference-trained checkpoint evaluated by both frameworks "
                 "on the same mini-VG test images with a shared DETR "
