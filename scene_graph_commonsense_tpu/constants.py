@@ -209,9 +209,9 @@ def class_weights(dataset: str = "vg",
     (reference train_test.py:105-106), in the SAME predicate order the
     dataset emits targets in — cluster order for VG
     (data/dataset.py applies rel_index_map) and super-category order for
-    OIv6 (data/oiv6.py applies OIV6_REORDER_BY_SUPER).  Using the
-    unpermuted counts would weight each class by a different predicate's
-    frequency.
+    OIv6 (data/oiv6.py applies OIV6_REORDER_BY_SUPER).  The VG frequency-
+    order table must be scattered through the permutation; the OIv6 table
+    is transcribed already reordered and is used as-is.
 
     Documented deviation: counts are derived by scattering the frequency-
     order table through the permutation rather than hand-copied; the
@@ -228,8 +228,14 @@ def class_weights(dataset: str = "vg",
         counts = np.zeros(len(m), np.float64)
         counts[m] = VG_REL_COUNTS_FREQ
     else:
-        counts = np.zeros(len(OIV6_REORDER_BY_SUPER), np.float64)
-        counts[OIV6_REORDER_BY_SUPER] = OIV6_REL_COUNTS
+        # OIV6_REL_COUNTS is transcribed from get_num_each_class_reordered
+        # (reference utils.py:267-268), which is ALREADY in super-reordered
+        # space — the reference tallies labels after applying
+        # oiv6_reorder_by_super (reference dataset_utils.py:206-210) and
+        # feeds the table straight into the loss (train_test.py:104-106).
+        # Scattering it through the reorder again would double-permute
+        # (bug fixed r4; pinned by tests/test_oiv6_wmap_parity.py).
+        counts = OIV6_REL_COUNTS.astype(np.float64)
     return (1.0 - counts / counts.sum()).astype(np.float32)
 
 

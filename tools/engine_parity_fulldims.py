@@ -38,7 +38,9 @@ def main(argv=None):
     ap.add_argument("mode", choices=["sgd", "sgc", "all"])
     ap.add_argument("--fs", type=int, default=32)
     ap.add_argument("--batch", type=int, default=4)
-    ap.add_argument("--group", type=int, default=8)
+    # group 6 -> 18-19 detections/image: the dense regime right under the
+    # 20-slot bound (group >= 7 saturates it and trips the census assert)
+    ap.add_argument("--group", type=int, default=6)
     ap.add_argument("--anchors", type=int, default=10)
     ap.add_argument("--decoys", type=int, default=4)
     ap.add_argument("--out", default=os.path.join(
