@@ -88,7 +88,14 @@ class ModelConfig:
     # models/resnet_fused.py; GSPMD-sharded multi-chip eval keeps the
     # plain XLA path until the kernel is wrapped in shard_map.
     fused_backbone: str = "auto"
+    # "auto" | "on" | "off": Pallas flash (online-softmax) DETR encoder
+    # self-attention — auto = on-TPU and compute_dtype != float64 (the
+    # f64 parity harnesses keep the naive exact-softmax path).
+    flash_encoder: str = "auto"
     detr_pretrained: str = "checkpoints/detr101_vg.msgpack"
+    # GloVe label-embedding table for the pnp context models
+    # (tools/glove_embeddings.py); absent file -> learned init.
+    glove_embeddings: str = "datasets/artifacts/glove_labels_vg.npz"
     # Detector geometry (production = DETR-ResNet101, reference
     # utils.py:88-120).  Parity/test harnesses shrink these to run the
     # REAL detection chain at tractable CPU cost

@@ -359,8 +359,12 @@ def make_detr_detect_fn(cfg, detr_model, detr_params,
     replicated."""
     import jax.numpy as jnp
 
-    def _detect_impl(images, pixel_mask):
-        out = detr_model.apply(detr_params, images, pixel_mask)
+    # params ride as an ARGUMENT, not a closed-over constant: jit embeds
+    # captured arrays into the program, so XLA constant-folds ~160 MB of
+    # frozen weights (minutes of compile) and the persistent compile
+    # cache misses whenever the checkpoint changes
+    def _detect_impl(params, images, pixel_mask):
+        out = detr_model.apply(params, images, pixel_mask)
         return postprocess_detections(
             out["pred_logits"], out["pred_boxes"], OBJ_ALP2FRE,
             num_classes=cfg.model.num_classes, topk_cat=cfg.model.topk_cat,
@@ -372,7 +376,9 @@ def make_detr_detect_fn(cfg, detr_model, detr_params,
     else:
         from jax.sharding import NamedSharding, PartitionSpec
         data_sh = NamedSharding(mesh, PartitionSpec("data"))
-        _detect = jax.jit(_detect_impl, in_shardings=(data_sh, data_sh),
+        repl = NamedSharding(mesh, PartitionSpec())
+        _detect = jax.jit(_detect_impl,
+                          in_shardings=(repl, data_sh, data_sh),
                           out_shardings=data_sh)
 
     def detect_fn(batch):
@@ -380,6 +386,6 @@ def make_detr_detect_fn(cfg, detr_model, detr_params,
         mask = batch.get("pixel_mask")
         if mask is None:
             mask = jnp.ones(images.shape[:3], bool)
-        return _detect(images, mask)
+        return _detect(detr_params, images, mask)
 
     return detect_fn

@@ -203,10 +203,18 @@ def sine_position_embedding(mask: jnp.ndarray, num_pos_feats: int = 128,
 class MHA(nn.Module):
     """Multi-head attention with separate q/k/v inputs and key padding mask
     (torch nn.MultiheadAttention semantics; in_proj is split into q/k/v
-    Dense layers for conversion)."""
+    Dense layers for conversion).
+
+    flash=True routes self-attention through the fused Pallas kernel
+    (ops/pallas/attention.py — the (B, H, L, L) score tensor stays in
+    VMEM; the naive path writes ~1 GB of scores per encoder layer at
+    DETR shapes).  Falls back to the naive path for short/ragged
+    sequences.  Key-padding semantics are identical to the naive path
+    (only keys are masked)."""
     d_model: int
     nhead: int
     dtype: Any = jnp.float32
+    flash: bool = False
 
     @nn.compact
     def __call__(self, q, k, v, key_padding_mask: Optional[jnp.ndarray]
@@ -217,18 +225,31 @@ class MHA(nn.Module):
         qh = dense("q_proj")(q).reshape(q.shape[:-1] + (self.nhead, d_head))
         kh = dense("k_proj")(k).reshape(k.shape[:-1] + (self.nhead, d_head))
         vh = dense("v_proj")(v).reshape(v.shape[:-1] + (self.nhead, d_head))
-        logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / math.sqrt(d_head)
-        if key_padding_mask is not None:
-            # key_padding_mask: (B, K) True = valid key
-            bias = jnp.where(key_padding_mask[:, None, None, :], 0.0,
-                             jnp.finfo(jnp.float32).min)
-            logits = logits + bias
-        # softmax in >= f32 (upcast for bf16 compute, no downcast under x64)
-        attn = jax.nn.softmax(
-            logits.astype(jnp.promote_types(logits.dtype, jnp.float32)),
-            axis=-1)
-        attn = attn.astype(vh.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh)
+        use_flash = (self.flash and q.shape[1] == k.shape[1]
+                     and q.shape[1] % 512 == 0
+                     and jnp.dtype(self.dtype) != jnp.float64)
+        if use_flash:
+            from ..ops.pallas.attention import fused_attention
+            out = fused_attention(
+                qh.transpose(0, 2, 1, 3), kh.transpose(0, 2, 1, 3),
+                vh.transpose(0, 2, 1, 3), key_valid=key_padding_mask,
+                scale=1.0 / math.sqrt(d_head))
+            out = out.transpose(0, 2, 1, 3)
+        else:
+            logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) \
+                / math.sqrt(d_head)
+            if key_padding_mask is not None:
+                # key_padding_mask: (B, K) True = valid key
+                bias = jnp.where(key_padding_mask[:, None, None, :], 0.0,
+                                 jnp.finfo(jnp.float32).min)
+                logits = logits + bias
+            # softmax in >= f32 (upcast for bf16 compute, no downcast
+            # under x64)
+            attn = jax.nn.softmax(
+                logits.astype(jnp.promote_types(logits.dtype, jnp.float32)),
+                axis=-1)
+            attn = attn.astype(vh.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, vh)
         out = out.reshape(q.shape[:-1] + (self.d_model,))
         return nn.Dense(self.d_model, dtype=self.dtype, name="out_proj")(out)
 
@@ -238,11 +259,12 @@ class EncoderLayer(nn.Module):
     nhead: int = 8
     dim_ff: int = 2048
     dtype: Any = jnp.float32
+    flash: bool = False
 
     @nn.compact
     def __call__(self, src, pos, key_padding_mask):
         q = k = src + pos
-        src2 = MHA(self.d_model, self.nhead, self.dtype,
+        src2 = MHA(self.d_model, self.nhead, self.dtype, flash=self.flash,
                    name="self_attn")(q, k, src, key_padding_mask)
         src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + src2)
         src2 = nn.Dense(self.dim_ff, dtype=self.dtype, name="linear1")(src)
@@ -287,6 +309,8 @@ class DETR(nn.Module):
     # Route the frozen trunk through the fused Pallas bottleneck kernel
     # (ops/pallas/bottleneck.py) — same param tree, forward-only.
     fused_backbone: bool = False
+    # Flash (online-softmax Pallas) encoder self-attention; see MHA.flash.
+    flash_encoder: bool = False
 
     def setup(self):
         self.backbone = ResNet101(dtype=self.dtype,
@@ -295,7 +319,7 @@ class DETR(nn.Module):
                                   dtype=self.dtype, name="input_proj")
         self.encoder_layers = [
             EncoderLayer(self.d_model, self.nhead, self.dim_ff, self.dtype,
-                         name=f"encoder_{i}")
+                         flash=self.flash_encoder, name=f"encoder_{i}")
             for i in range(self.num_encoder_layers)]
         self.decoder_layers = [
             DecoderLayer(self.d_model, self.nhead, self.dim_ff, self.dtype,
@@ -379,8 +403,13 @@ def make_detr(cfg) -> DETR:
                              and jax.device_count() == 1)
     # the fused Pallas trunk is specialized to the ResNet-101 layout
     fused = fused and tuple(cfg.model.detr_blocks) == (3, 4, 23, 3)
+    fmode = getattr(cfg.model, "flash_encoder", "auto")
+    flash = fmode == "on" or (fmode == "auto"
+                              and jax.default_backend() == "tpu"
+                              and jnp.dtype(cfg.model.compute_dtype)
+                              != jnp.float64)
     return DETR(num_classes=num, dtype=jnp.dtype(cfg.model.compute_dtype),
                 num_encoder_layers=cfg.model.detr_enc_layers,
                 num_decoder_layers=cfg.model.detr_dec_layers,
                 backbone_blocks=tuple(cfg.model.detr_blocks),
-                fused_backbone=fused)
+                fused_backbone=fused, flash_encoder=flash)

@@ -93,10 +93,16 @@ def make_detr_featurize_fn(cfg, detr_model, detr_params):
     no_grad)."""
     from scene_graph_commonsense_tpu.models.detr import DETR
 
+    # params as an argument (not a jit-captured constant): keeps XLA from
+    # constant-folding the frozen weights and keeps the persistent
+    # compile cache valid across checkpoints
     @jax.jit
-    def encode(images):
-        return detr_model.apply(detr_params, images,
+    def _encode(params, images):
+        return detr_model.apply(params, images,
                                 method=DETR.encode_features)
+
+    def encode(images):
+        return _encode(detr_params, images)
 
     def featurize(batch):
         batch = dict(batch)
