@@ -26,9 +26,12 @@ All encoders take (feats (B,N,D), boxes (B,N,4), labels (B,N) int,
 valid (B,N) bool) and return per-object edge representations (B,N,H) plus
 object-label logits (B,N,C) for the SGCLS/SGDET decoding path.
 
-Word vectors: the reference initializes label embeddings from GloVe files
-on disk; here they are learned ``nn.Embed`` tables (documented deviation —
-no pretrained-vector dependency).
+Word vectors: the reference's graft targets initialize label embeddings
+from GloVe files on disk (reference README_PLUGANDPLAY.md:56-69); here the
+``nn.Embed`` tables start learned, and ``train.pnp_engine.apply_glove_init``
+overwrites them from a table built offline by ``tools/glove_embeddings.py``
+when ``cfg.model.glove_embeddings`` exists (documented fallback: learned
+init when no vectors are shipped).
 """
 
 from __future__ import annotations

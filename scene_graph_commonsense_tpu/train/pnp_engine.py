@@ -246,16 +246,62 @@ def make_pnp_eval_step(predictor: HierarchicalPredictor, cfg,
 
 
 def init_predictor_params(cfg, predictor: HierarchicalPredictor,
-                          feature_dim: Optional[int] = None):
+                          feature_dim: Optional[int] = None,
+                          log_fn=print):
     n = cfg.data.max_objects
     d = feature_dim or cfg.model.num_img_feature
     z = jnp.zeros
-    return predictor.init(
+    params = predictor.init(
         jax.random.PRNGKey(cfg.training.seed),
         z((1, n, d)), z((1, n, 4)), z((1, n), jnp.int32),
         jnp.ones((1, n), bool), z((1, n * n), jnp.int32),
         z((1, n * n), jnp.int32), jnp.ones((1, n * n), bool),
         z((1, n * n, d)))
+    return apply_glove_init(cfg, params, log_fn=log_fn)
+
+
+def apply_glove_init(cfg, params, log_fn=print):
+    """GloVe label-embedding init for the context models (the reference's
+    SGB graft targets initialize from GloVe vectors, reference
+    README_PLUGANDPLAY.md:56-69).  When cfg.model.glove_embeddings points
+    at a table built by tools/glove_embeddings.py, every `label_embed`
+    embedding in the tree gets its resolved class rows replaced (the +1
+    padding row and unresolved names keep the learned init).  Documented
+    fallback: absent file -> learned init, with a log line."""
+    import os
+
+    path = getattr(cfg.model, "glove_embeddings", "")
+    if not path:
+        return params
+    if not os.path.exists(path):
+        log_fn(f"glove_embeddings: {path} not found — context label "
+               f"embeddings keep their learned init (build the table "
+               f"with tools/glove_embeddings.py)")
+        return params
+    import numpy as np
+    with np.load(path) as npz:
+        vecs, found = npz["vectors"], npz["found"]
+
+    import flax
+    flat = flax.traverse_util.flatten_dict(params)
+    hit = False
+    for key in list(flat):
+        if key[-2] == "label_embed" and key[-1] == "embedding":
+            tab = np.array(flat[key])       # writable copy
+            if tab.shape[1] != vecs.shape[1]:
+                raise ValueError(
+                    f"glove_embeddings dim {vecs.shape[1]} != embed_dim "
+                    f"{tab.shape[1]} at {'/'.join(key)}; rebuild the "
+                    f"table with a matching GloVe dim")
+            rows = np.nonzero(found[:tab.shape[0]])[0]
+            tab[rows] = vecs[rows]
+            flat[key] = jnp.asarray(tab, dtype=flat[key].dtype)
+            hit = True
+    if hit:
+        log_fn(f"Initialized context label embeddings from {path} "
+               f"({int(found.sum())}/{len(found)} classes)")
+        return flax.traverse_util.unflatten_dict(flat)
+    return params
 
 
 def make_predictor(cfg, family: str) -> HierarchicalPredictor:
