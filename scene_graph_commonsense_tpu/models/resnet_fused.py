@@ -71,12 +71,18 @@ def _fused_block(p, x, downsample: bool, interpret):
 def resnet_forward_fused(params, images: jnp.ndarray, *,
                          blocks: Tuple[int, int, int, int] = (3, 4, 23, 3),
                          dtype: Any = jnp.float32,
-                         interpret: Optional[bool] = None) -> jnp.ndarray:
+                         interpret: Optional[bool] = None,
+                         upto: Optional[str] = None) -> jnp.ndarray:
     """ResNet-101 trunk forward from `ResNet101`'s param dict.
 
     images: (B, H, W, 3); returns C5 (B, H/32, W/32, 2048).  Numerically
     equivalent to `ResNet101(dtype=dtype).apply(...)` up to compute-dtype
     rounding (BN folding is done in f32 here).
+
+    upto: stop after a named stage ("stem", "layer1".."layer4") and return
+    that stage's activation — used by the per-stage roofline profiler
+    (tools/roofline_encode.py) to time chained prefixes of the real
+    program.  None (default) runs the whole trunk.
     """
     from .detr import _space_to_depth_conv1  # local: avoid import cycle
 
@@ -99,6 +105,8 @@ def resnet_forward_fused(params, images: jnp.ndarray, *,
                 [(0, 0)] * 4)
         else:
             x = stem_pool(x, fold_bn(params["bn1"]), interpret=interpret)
+    if upto == "stem":
+        return x
     for stage, (planes, nblocks, stride) in enumerate(
             zip((64, 128, 256, 512), blocks, (1, 2, 2, 2))):
         for i in range(nblocks):
@@ -121,4 +129,6 @@ def resnet_forward_fused(params, images: jnp.ndarray, *,
             else:
                 x = _fused_block(p, x, downsample=(i == 0),
                                  interpret=interpret)
+        if upto == f"layer{stage + 1}":
+            return x
     return x

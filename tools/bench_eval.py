@@ -177,40 +177,47 @@ def main():
                 resnet_forward_fused)
 
             cdt = jnp.dtype(cfg.model.compute_dtype)
-            enc = jax.jit(lambda img: detr.apply(
-                detr_params, img, method=DETR.encode_features))
+            # params as jit ARGUMENTS (not captured constants): capturing
+            # constant-folds the frozen weights into the HLO, which blows
+            # compile time up by >10x and defeats the persistent cache
+            # (same fix as train/loop.py::make_detr_featurize_fn)
+            enc = jax.jit(lambda p, img: detr.apply(
+                p, img, method=DETR.encode_features))
             bb_params = {"params": detr_params["params"]["backbone"]}
-            trunk_fused = jax.jit(lambda img: resnet_forward_fused(
-                detr_params["params"]["backbone"], img, dtype=cdt))
-            trunk_xla = jax.jit(lambda img: ResNet101(dtype=cdt).apply(
-                bb_params, img))
+            trunk_fused = jax.jit(lambda p, img: resnet_forward_fused(
+                p, img, dtype=cdt))
+            trunk_xla = jax.jit(lambda p, img: ResNet101(dtype=cdt).apply(
+                p, img))
             detr_xla = detr.clone(fused_backbone=False)
-            enc_xla = jax.jit(lambda img: detr_xla.apply(
-                detr_params, img, method=DETR.encode_features))
+            enc_xla = jax.jit(lambda p, img: detr_xla.apply(
+                p, img, method=DETR.encode_features))
 
-            def rate_of(fn, pick):
+            def rate_of(fn, params, pick):
                 def step(i, carry):
                     img = dbatches[i % STEPS]
                     if carry is not None:
                         img = img + carry * 0
-                    return pick(fn(img))
+                    return pick(fn(params, img))
                 return chained_rate(step)
 
-            dt_enc = rate_of(enc, lambda o: o[0, 0, 0, 0])
-            dt_enc_xla = rate_of(enc_xla, lambda o: o[0, 0, 0, 0])
-            dt_trunk = rate_of(trunk_fused, lambda o: o[0, 0, 0, 0])
-            dt_trunk_xla = rate_of(trunk_xla, lambda o: o[0, 0, 0, 0])
+            pick0 = lambda o: o[0, 0, 0, 0]  # noqa: E731
+            dt_enc = rate_of(enc, detr_params, pick0)
+            dt_enc_xla = rate_of(enc_xla, detr_params, pick0)
+            dt_trunk = rate_of(trunk_fused,
+                               detr_params["params"]["backbone"], pick0)
+            dt_trunk_xla = rate_of(trunk_xla, bb_params, pick0)
             results["encode"] = BATCH / dt_enc
 
             enc_mfu = trunk_mfu = None
             try:
-                cost = enc_xla.lower(dbatches[0]).compile().cost_analysis()
+                cost = enc_xla.lower(
+                    detr_params, dbatches[0]).compile().cost_analysis()
                 flops = (cost or {}).get("flops", 0.0)
                 peak = _peak_flops(jax.devices()[0])
                 if flops:
                     enc_mfu = round(100 * flops / dt_enc / peak, 2)
                 tcost = trunk_xla.lower(
-                    dbatches[0]).compile().cost_analysis()
+                    bb_params, dbatches[0]).compile().cost_analysis()
                 tflops = (tcost or {}).get("flops", 0.0)
                 if tflops:
                     trunk_mfu = round(100 * tflops / dt_trunk / peak, 2)
