@@ -245,6 +245,16 @@ def main():
           f"cluster={cfg.data.supcat_clustering}")
 
     import jax
+    if os.environ.get("JAX_PLATFORMS"):
+        # Re-assert the env var into jax.config: the sandbox's
+        # sitecustomize force-registers the TPU tunnel backend in a way
+        # that ignores JAX_PLATFORMS, so parity subprocesses that set
+        # JAX_PLATFORMS=cpu (tools/checkpoint_parity.py,
+        # tools/detection_parity.py) would silently land on the TPU —
+        # where their float64 programs cannot compile.  The config update
+        # takes precedence over backend registration (same trick as
+        # tests/conftest.py).
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     if cfg.model.compute_dtype == "float64":
         # precision knob for parity harnesses (tools/checkpoint_parity.py):
         # f64 end-to-end kills cross-framework candidate-rank flips
