@@ -28,11 +28,25 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 # Duration-derived fast tier: every test that measured >=10s on the CPU
-# harness (pytest --durations, 2026-08-18) is marked slow here centrally, on
-# top of the explicit @pytest.mark.slow decorations on the reference-parity
-# and dress-rehearsal suites.  `pytest -m "not slow"` is the <3-minute
-# iteration tier; the full suite (no marker filter) is unchanged.
+# harness (pytest --durations, 2026-08-18; re-tiered 2026-08-21 from a run
+# under 2x CPU contention, so those entries' noted times are ~2x solo) is
+# marked slow here centrally, on top of the explicit @pytest.mark.slow
+# decorations on the reference-parity and dress-rehearsal suites.
+# `pytest -m "not slow"` is the <3-minute iteration tier; the full suite
+# (no marker filter) is unchanged.
 _SLOW_BY_MEASURED_DURATION = {
+    # --- re-tiered 2026-08-21 (times measured contended, ~2x solo) ---
+    "test_fused_backbone_flag_in_encode",                # 90s contended
+    "test_tde_keeps_masks_and_connectivity",             # 38s contended
+    "test_prepare_cs_resumes_from_per_image_artifacts",  # 37s contended
+    "test_predictor_sgcls_mode_decodes_labels",          # 36s contended
+    "test_fused_block_matches_module",                   # 33s contended
+    "test_apply_glove_init_replaces_rows",               # 31s contended
+    "test_fused_block_downsample_matches_module",        # 16s contended
+    "test_eval_step_sharded_matches_single_device",      # 14s contended
+    "test_biased_head_matches_flat_softmax",             # 12s contended
+    "test_oiv6_eval_reports_wmap",                       # 10s contended
+    # --- 2026-08-18 tier ---
     "test_cli_synthetic_smoke",          # engines 430s, label_transfer 29s
     "test_cli_predictor_smoke",                                   # 322s
     "test_sharded_detect_fn_matches_single_device",               # 113s
