@@ -76,11 +76,17 @@ def internal_candidates(image: int, rel: np.ndarray, scores: np.ndarray,
         p_new = int(np.argmax(scores[i, j]))
         if p_new == p_old or freq[p_new] >= freq[p_old]:
             continue
-        margin = float(scores[i, j, p_new] - scores[i, j, p_old])
-        # not np.isfinite also rejects the NaN of (-inf) - (-inf): a GT
-        # pair the model never scored (e.g. truncated out of a capped
-        # pair pack) must not become a candidate
-        if not np.isfinite(margin) or margin <= 0:
+        s_new = float(scores[i, j, p_new])
+        s_old = float(scores[i, j, p_old])
+        # guard BEFORE the subtraction: (-inf) - (-inf) would both raise a
+        # RuntimeWarning and produce NaN — a GT pair the model never scored
+        # (e.g. truncated out of a capped pair pack) must not become a
+        # candidate, and real NaN regressions should not be masked as
+        # warning noise
+        if not (np.isfinite(s_new) and np.isfinite(s_old)):
+            continue
+        margin = s_new - s_old
+        if margin <= 0:
             continue
         out.append(TransferCandidate(image, int(i), int(j), p_old, p_new,
                                      margin))
@@ -104,11 +110,11 @@ def external_candidates(image: int, rel: np.ndarray, scores: np.ndarray,
     subs, objs = np.nonzero(valid_pair & (rel < 0) & (conn >= min_conn))
     for i, j in zip(subs, objs):
         p_new = int(np.argmax(scores[i, j]))
-        margin = float(conn[i, j]) + float(scores[i, j, p_new])
-        if not np.isfinite(margin):
+        c, s = float(conn[i, j]), float(scores[i, j, p_new])
+        if not (np.isfinite(c) and np.isfinite(s)):
             continue
         out.append(TransferCandidate(image, int(i), int(j), -1, p_new,
-                                     margin))
+                                     c + s))
     return out
 
 
@@ -124,8 +130,13 @@ def nice_candidates(image: int, rel: np.ndarray, scores: np.ndarray,
         p_new = int(np.argmax(scores[i, j]))
         if p_new == p_old:
             continue
-        margin = float(scores[i, j, p_new] - scores[i, j, p_old])
-        if np.isfinite(margin) and margin > min_gap:
+        s_new = float(scores[i, j, p_new])
+        s_old = float(scores[i, j, p_old])
+        # finite-guard before the subtraction (see internal_candidates)
+        if not (np.isfinite(s_new) and np.isfinite(s_old)):
+            continue
+        margin = s_new - s_old
+        if margin > min_gap:
             out.append(TransferCandidate(image, int(i), int(j), p_old,
                                          p_new, margin))
     return out

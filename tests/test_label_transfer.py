@@ -173,17 +173,51 @@ def test_external_transfer_gated_by_relatedness():
 
 def test_unscored_gt_pairs_never_become_candidates():
     """A GT pair truncated out of the pair pack has all -inf scores; the
-    NaN margin of (-inf) - (-inf) must not produce a candidate."""
+    NaN margin of (-inf) - (-inf) must not produce a candidate — and the
+    finite-guard runs BEFORE the subtraction, so no RuntimeWarning either
+    (a warning here would train reviewers to ignore real NaN regressions)."""
+    import warnings
+
     n, r = 3, 5
     rel = np.full((n, n), -1, np.int32)
     rel[0, 1] = 1
     freq = np.asarray([0, 100, 1, 0, 0], np.int64)
     scores = np.full((n, n, r), -np.inf, np.float32)
-    assert lt.internal_candidates(0, rel, scores, freq) == []
-    assert lt.nice_candidates(0, rel, scores) == []
     conn = np.ones((n, n), np.float32)
     valid = np.ones((n, n), bool) & ~np.eye(n, dtype=bool)
-    assert lt.external_candidates(0, rel, scores, conn, valid) == []
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        assert lt.internal_candidates(0, rel, scores, freq) == []
+        assert lt.nice_candidates(0, rel, scores) == []
+        assert lt.external_candidates(0, rel, scores, conn, valid) == []
+
+
+def test_nonfinite_scores_do_not_mask_finite_candidates():
+    """NaN/-inf entries must only drop their own pair: finite candidates in
+    the same image still go through all three selectors."""
+    import warnings
+
+    n, r = 3, 5
+    rel = np.full((n, n), -1, np.int32)
+    rel[0, 1] = 1          # head predicate, finite scores -> internal cand
+    rel[1, 2] = 1          # GT pair with NaN scores -> must be dropped
+    freq = np.asarray([0, 100, 1, 0, 0], np.int64)
+    scores = np.zeros((n, n, r), np.float32)
+    scores[0, 1, 2] = 5.0  # rarer predicate scored above GT
+    scores[1, 2] = np.nan
+    scores[2, 0] = -np.inf  # unlabeled pair, unscored
+    conn = np.ones((n, n), np.float32)
+    valid = np.ones((n, n), bool) & ~np.eye(n, dtype=bool)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        internal = lt.internal_candidates(0, rel, scores, freq)
+        nice = lt.nice_candidates(0, rel, scores)
+        external = lt.external_candidates(0, rel, scores, conn, valid)
+    assert {(c.sub, c.obj) for c in internal} == {(0, 1)}
+    assert {(c.sub, c.obj) for c in nice} == {(0, 1)}
+    assert (1, 2) not in {(c.sub, c.obj) for c in external}
+    assert (2, 0) not in {(c.sub, c.obj) for c in external}
+    assert (0, 2) in {(c.sub, c.obj) for c in external}
 
 
 def test_inverse_rel_map_dead_wears_slot():
