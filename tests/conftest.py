@@ -40,10 +40,13 @@ _SLOW_BY_MEASURED_DURATION = {
     "test_tde_keeps_masks_and_connectivity",             # 38s contended
     "test_prepare_cs_resumes_from_per_image_artifacts",  # 37s contended
     "test_predictor_sgcls_mode_decodes_labels",          # 36s contended
-    "test_fused_block_matches_module",                   # 33s contended
     "test_apply_glove_init_replaces_rows",               # 31s contended
-    "test_fused_block_downsample_matches_module",        # 16s contended
     "test_eval_step_sharded_matches_single_device",      # 14s contended
+    # NOT re-tiered (advisor r4): test_fused_block_matches_module (33s
+    # contended, ~16s solo) and test_fused_block_downsample_matches_module
+    # (16s contended, ~8s solo) stay in the fast tier — they are the
+    # primary quick numerical gate for the Pallas kernels, and the
+    # contended measurements overstate their solo cost ~2x.
     "test_biased_head_matches_flat_softmax",             # 12s contended
     "test_oiv6_eval_reports_wmap",                       # 10s contended
     # --- 2026-08-18 tier ---

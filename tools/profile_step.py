@@ -201,9 +201,15 @@ def summarize(outdir: str, top: int = 30):
         trace = json.load(f)
     # keep only device-track complete events (TPU op activity)
     pid_names = {}
+    tid_names = {}
     for ev in trace["traceEvents"]:
-        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+        if ev.get("ph") != "M":
+            continue
+        if ev.get("name") == "process_name":
             pid_names[ev["pid"]] = ev["args"].get("name", "")
+        elif ev.get("name") == "thread_name":
+            tid_names[(ev.get("pid"), ev.get("tid"))] = \
+                ev["args"].get("name", "")
     durs = defaultdict(float)
     counts = defaultdict(int)
     total = 0.0
@@ -226,14 +232,28 @@ def summarize(outdir: str, top: int = 30):
         tr[2] = max(tr[2], ts + dur)
     print(f"total device op time {total:.1f} ms over "
           f"{sum(counts.values())} events")
-    # device-busy fraction: on the busiest single device track (the XLA
-    # ops track — ops on one track don't overlap), busy/span over the
-    # traced region is the fraction of wall time the chip was computing.
+    # device-busy fraction.  The track MUST be the op-level one ('XLA
+    # Ops' thread metadata): its events are individual HLO ops that don't
+    # overlap and exclude stalls, so busy/span is real utilization.  The
+    # previous heuristic (busiest track by summed duration) could select
+    # the 'XLA Modules'/'Steps' track, whose module-granularity events
+    # tile the whole span INCLUDING intra-module stalls — that saturates
+    # at 100% regardless of op-level utilization (advisor r4, medium).
     if tracks:
-        busy, t0, t1 = max(tracks.values(), key=lambda tr: tr[0])
+        op_keys = [k for k in tracks
+                   if "XLA Ops" in tid_names.get(k, "")]
+        if op_keys:
+            key = max(op_keys, key=lambda k: tracks[k][0])
+            label = f"op-level track ({tid_names[key]!r})"
+        else:
+            key = max(tracks, key=lambda k: tracks[k][0])
+            label = (f"busiest track ({tid_names.get(key, '?')!r}; "
+                     "no 'XLA Ops' thread metadata found — this may "
+                     "include stalls, treat as an upper bound)")
+        busy, t0, t1 = tracks[key]
         span = t1 - t0
         if span > 0:
-            print(f"busiest device track: {busy:.1f} ms busy over "
+            print(f"{label}: {busy:.1f} ms busy over "
                   f"{span:.1f} ms span -> {100 * busy / span:.1f}% "
                   f"device-busy")
     for name, d in sorted(durs.items(), key=lambda kv: -kv[1])[:top]:

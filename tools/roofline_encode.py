@@ -52,7 +52,13 @@ def _peak_bw(device) -> float:
     return 819e9
 
 
-def chained_rate(run_step, n_long=None, n_short=None):
+def chained_rate(run_step, n_long=None, n_short=None, reps=3):
+    """Per-step seconds from the difference of a long and a short
+    dependency chain, repeated `reps` times with the MIN taken: stage
+    times downstream are differences of two of these, so single-shot
+    jitter on short stages (3-5 ms) could skew or even flip the sign of
+    a recorded delta (advisor r4).  min-of-reps is the standard
+    microbenchmark noise floor."""
     n_long = STEPS if n_long is None else n_long
     n_short = SHORT if n_short is None else n_short
 
@@ -62,14 +68,17 @@ def chained_rate(run_step, n_long=None, n_short=None):
             carry = run_step(i, carry)
         return float(carry)
 
-    chain(n_short)
-    t0 = time.perf_counter()
-    chain(n_short)
-    t_short = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    chain(n_long)
-    t_long = time.perf_counter() - t0
-    return (t_long - t_short) / (n_long - n_short)
+    chain(n_short)                      # warm compile + caches
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        chain(n_short)
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        chain(n_long)
+        t_long = time.perf_counter() - t0
+        best = min(best, (t_long - t_short) / (n_long - n_short))
+    return best
 
 
 def _stage_costs(B, H, W, e=2):
@@ -202,6 +211,12 @@ def main():
         stage_ms[name] = 1e3 * (t_prefix[name] - t_prefix[prev])
         prev = name
     stage_ms["encoder"] = 1e3 * (t_encode - t_prefix["layer4"])
+    # prefix differences can still go non-positive under extreme jitter;
+    # flag loudly rather than writing a silently-distorted record
+    bad = [n for n, ms in stage_ms.items() if ms <= 0]
+    if bad:
+        print(f"WARNING: non-positive stage delta(s) {bad} — "
+              "measurement jitter exceeded stage time; record flagged")
 
     dev = jax.devices()[0]
     peak_fl, peak_bw = _peak_flops(dev), _peak_bw(dev)
@@ -232,6 +247,7 @@ def main():
         "peak_hbm_gbps": peak_bw / 1e9,
         "encode_ms_per_batch": round(1e3 * t_encode, 2),
         "encode_mfu_pct": round(100 * total_fl / t_encode / peak_fl, 1),
+        "suspect_stages": bad,
         "stages": table,
         "notes": [
             "stem compute bound unattainable: K=147 contraction on a "
