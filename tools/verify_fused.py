@@ -16,7 +16,11 @@ TPU.  It compares, on the actual device:
   3. the fused pair pool (ops/pallas/pair_pool.pair_pool) forward AND
      custom-VJP backward vs the XLA reference formulation
      (pair_pool_reference + jax.grad), at the production relation dims
-     (S=32 streams, 4h=512 channels, P=1024 packed pairs).
+     (S=32 streams, 4h=512 channels, P=1024 packed pairs);
+  4. the fused encoder attention (ops/pallas/attention.fused_attention)
+     vs the naive MHA math at the production encoder shape
+     (12x8x1024x32, key-masked), f32 AND bf16, both referenced against
+     the 'highest'-precision naive truth.
 
 Writes PARITY_TPU.json and exits non-zero on any tolerance breach.  Run it
 before recording any bench: these kernels replace the compute the reference
@@ -209,6 +213,58 @@ def check_pair_pool(results):
         "tol": max(3.0 * x_db, 1e-5)}
 
 
+def check_attention(results):
+    """On-chip fused encoder attention (ops/pallas/attention.py) vs the
+    naive MHA math at the production encoder shape (batch 12, 8 heads,
+    L=1024 tokens, d_head=32 — models/detr.py MHA), masked, f32 + bf16.
+    Same gating pattern as check_trunk: truth is the naive formulation
+    at matmul precision 'highest'; each path must track it at least as
+    well as the naive path at XLA's default precision does."""
+    import math
+
+    from scene_graph_commonsense_tpu.ops.pallas.attention import (
+        fused_attention)
+
+    b, h, l, dh = 12, 8, 1024, 32
+    ks = jax.random.split(jax.random.PRNGKey(13), 4)
+    q = jax.random.normal(ks[0], (b, h, l, dh), jnp.float32)
+    k = jax.random.normal(ks[1], (b, h, l, dh), jnp.float32)
+    v = jax.random.normal(ks[2], (b, h, l, dh), jnp.float32)
+    key_valid = jax.random.uniform(ks[3], (b, l)) < 0.8
+    key_valid = key_valid.at[:, 0].set(True)
+    scale = 1.0 / math.sqrt(dh)
+
+    def naive(q, k, v, m):
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) * scale
+        logits = logits + jnp.where(m[:, None, None, :], 0.0,
+                                    jnp.finfo(jnp.float32).min)
+        attn = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", attn.astype(v.dtype), v)
+
+    def jrel(got, ref):
+        got = got.astype(jnp.float32)
+        ref = ref.astype(jnp.float32)
+        return (jnp.max(jnp.abs(got - ref))
+                / jnp.maximum(jnp.max(jnp.abs(ref)), 1e-30))
+
+    with jax.default_matmul_precision("highest"):
+        truth = jax.jit(naive)(q, k, v, key_valid)
+    cmp = jax.jit(lambda g, t: jrel(g, t))
+
+    for dt, floor in ((jnp.float32, 1e-5), (jnp.bfloat16, 0.05)):
+        cast = lambda t: t.astype(dt)  # noqa: E731
+        got = jax.jit(lambda *t: fused_attention(
+            *t[:3], key_valid=t[3], scale=scale, interpret=False))(
+            cast(q), cast(k), cast(v), key_valid)
+        ref = jax.jit(naive)(cast(q), cast(k), cast(v), key_valid)
+        e_fused = float(cmp(got, truth))
+        e_xla = float(cmp(ref, truth))
+        results[f"attention_{jnp.dtype(dt).name}_vs_f32_truth"] = {
+            "rel": e_fused, "xla_default_rel": e_xla,
+            "tol": max(3.0 * e_xla, floor),
+            "shape": list(np.shape(got))}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(ROOT, "PARITY_TPU.json"))
@@ -219,7 +275,7 @@ def main():
     results = {}
     import time
     for name, fn in (("stem", check_stem), ("pair_pool", check_pair_pool),
-                     ("trunk", check_trunk)):
+                     ("attention", check_attention), ("trunk", check_trunk)):
         t0 = time.perf_counter()
         fn(results)
         print(f"[{name}] done in {time.perf_counter() - t0:.1f}s",
