@@ -274,13 +274,24 @@ def apply_glove_init(cfg, params, log_fn=print):
     if not path:
         return params
     if not os.path.exists(path):
-        log_fn(f"glove_embeddings: {path} not found — context label "
-               f"embeddings keep their learned init (build the table "
-               f"with tools/glove_embeddings.py)")
-        return params
+        # committed stand-in: the real GloVe txt is not downloadable in
+        # every environment (this build's has zero egress — CAPABILITIES
+        # 'environment-blocked'), so tools/glove_embeddings.py --synthetic
+        # writes a deterministic name-hash table next to the real name;
+        # prefer the real table whenever it exists.
+        synth = path[:-len(".npz")] + ".synthetic.npz" \
+            if path.endswith(".npz") else ""
+        if synth and os.path.exists(synth):
+            path = synth
+        else:
+            log_fn(f"glove_embeddings: {path} not found — context label "
+                   f"embeddings keep their learned init (build the table "
+                   f"with tools/glove_embeddings.py)")
+            return params
     import numpy as np
     with np.load(path) as npz:
         vecs, found = npz["vectors"], npz["found"]
+        source = str(npz["source"]) if "source" in npz else "glove"
 
     import flax
     flat = flax.traverse_util.flatten_dict(params)
@@ -299,7 +310,8 @@ def apply_glove_init(cfg, params, log_fn=print):
             hit = True
     if hit:
         log_fn(f"Initialized context label embeddings from {path} "
-               f"({int(found.sum())}/{len(found)} classes)")
+               f"(source={source}, {int(found.sum())}/{len(found)} "
+               f"classes)")
         return flax.traverse_util.unflatten_dict(flat)
     return params
 

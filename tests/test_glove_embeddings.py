@@ -104,3 +104,50 @@ def test_apply_glove_init_fallback_and_mismatch(tmp_path):
     _write_table(str(tmp_path), len(VG_OBJECTS), 37)
     with pytest.raises(ValueError, match="dim 37"):
         pnp_engine.apply_glove_init(cfg, params, log_fn=logs.append)
+
+
+def test_synthetic_stand_in_resolves_all_vg_classes():
+    """The committed stand-in artifact (real GloVe is environment-blocked
+    here — zero egress) must resolve every VG class deterministically and
+    share token vectors across multiword names."""
+    from glove_embeddings import build_synthetic_table
+
+    vecs, found = build_synthetic_table(VG_OBJECTS, dim=100)
+    assert found.all()
+    vecs2, _ = build_synthetic_table(VG_OBJECTS, dim=100)
+    np.testing.assert_array_equal(vecs, vecs2)      # deterministic
+    # single-token names are unit vectors; multiword names are pooled
+    norms = np.linalg.norm(vecs, axis=1)
+    single = [i for i, n in enumerate(VG_OBJECTS) if len(n.split()) == 1]
+    np.testing.assert_allclose(norms[single], 1.0, atol=1e-5)
+
+    art = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "datasets", "artifacts",
+        "glove_labels_vg.synthetic.npz")
+    assert os.path.exists(art), "committed stand-in table missing"
+    with np.load(art) as npz:
+        assert str(npz["source"]) == "synthetic-hash"
+        np.testing.assert_array_equal(npz["vectors"], vecs)
+
+
+def test_apply_glove_init_falls_back_to_committed_synthetic(tmp_path):
+    """When the real-GloVe path is absent but its .synthetic.npz sibling
+    exists, the hook loads the stand-in (non-fallback path exercised by a
+    COMMITTED artifact, r4 verdict #8) and says so in the log line."""
+    cfg = _mini_cfg(str(tmp_path), 100)
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((len(VG_OBJECTS), 100)).astype(np.float32)
+    found = np.ones(len(VG_OBJECTS), bool)
+    np.savez(os.path.join(tmp_path, "glove.synthetic.npz"),
+             vectors=vecs, found=found, source="synthetic-hash")
+    pred = pnp_engine.make_predictor(cfg, "motifs")
+    logs = []
+    params = pnp_engine.init_predictor_params(cfg, pred,
+                                              log_fn=logs.append)
+    assert any("source=synthetic-hash" in ln for ln in logs), logs
+    import flax
+    flat = flax.traverse_util.flatten_dict(params)
+    tabs = [np.asarray(v) for k, v in flat.items()
+            if k[-2:] == ("label_embed", "embedding")]
+    for tab in tabs:
+        np.testing.assert_allclose(tab[:len(VG_OBJECTS)], vecs, atol=1e-6)

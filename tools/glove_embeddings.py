@@ -57,10 +57,42 @@ def build_table(names, glove_path):
     return vecs, found
 
 
+def build_synthetic_table(names, dim=100):
+    """Deterministic stand-in when the real GloVe txt is unreachable
+    (this build environment has zero egress): per-TOKEN unit vectors from
+    a name-hash-seeded generator, mean-pooled per class exactly like
+    build_table, so classes sharing a token ('race car' / 'car') get
+    correlated rows and the multiword pooling path is exercised.  This is
+    NOT GloVe — the npz records source='synthetic-hash' so nothing
+    downstream can mistake it for the real table; swap in the real file
+    via --glove when egress exists."""
+    tok_vecs = {}
+    for name in names:
+        for tok in name.lower().split():
+            if tok not in tok_vecs:
+                seed = int.from_bytes(tok.encode(), "little") % (2 ** 31)
+                v = np.random.default_rng(seed).standard_normal(dim)
+                tok_vecs[tok] = (v / np.linalg.norm(v)).astype(np.float32)
+    vecs = np.zeros((len(names), dim), np.float32)
+    found = np.zeros(len(names), bool)
+    for i, name in enumerate(names):
+        hits = [tok_vecs[t] for t in name.lower().split()]
+        if hits:
+            vecs[i] = np.mean(hits, axis=0)
+            found[i] = True
+    return vecs, found
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--glove", required=True,
+    ap.add_argument("--glove", default=None,
                     help="GloVe txt file (e.g. glove.6B.100d.txt)")
+    ap.add_argument("--synthetic", action="store_true",
+                    help="build the deterministic name-hash stand-in "
+                         "table instead (no GloVe file needed; see "
+                         "build_synthetic_table)")
+    ap.add_argument("--dim", type=int, default=100,
+                    help="--synthetic vector dimension")
     ap.add_argument("--dataset", default="vg", choices=["vg", "oiv6"])
     ap.add_argument("--names-json", default=None,
                     help="JSON list of class names (required for oiv6 — "
@@ -76,14 +108,24 @@ def main():
         names = VG_OBJECTS
     else:
         sys.exit("--names-json is required for oiv6")
-    vecs, found = build_table(names, args.glove)
+    if args.synthetic:
+        vecs, found = build_synthetic_table(names, args.dim)
+        source = "synthetic-hash"
+        suffix = ".synthetic"
+    elif args.glove:
+        vecs, found = build_table(names, args.glove)
+        source = os.path.basename(args.glove)
+        suffix = ""
+    else:
+        sys.exit("one of --glove or --synthetic is required")
     out = args.out or os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "datasets", "artifacts", f"glove_labels_{args.dataset}.npz")
+        "datasets", "artifacts",
+        f"glove_labels_{args.dataset}{suffix}.npz")
     os.makedirs(os.path.dirname(out), exist_ok=True)
-    np.savez(out, vectors=vecs, found=found)
-    print(f"wrote {out}: {found.sum()}/{len(names)} classes resolved, "
-          f"dim {vecs.shape[1]}")
+    np.savez(out, vectors=vecs, found=found, source=source)
+    print(f"wrote {out} (source={source}): {found.sum()}/{len(names)} "
+          f"classes resolved, dim {vecs.shape[1]}")
 
 
 if __name__ == "__main__":
