@@ -267,10 +267,30 @@ class EncoderLayer(nn.Module):
         src2 = MHA(self.d_model, self.nhead, self.dtype, flash=self.flash,
                    name="self_attn")(q, k, src, key_padding_mask)
         src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src + src2)
-        src2 = nn.Dense(self.dim_ff, dtype=self.dtype, name="linear1")(src)
-        src2 = nn.Dense(self.d_model, dtype=self.dtype,
-                        name="linear2")(nn.relu(src2))
-        return nn.LayerNorm(epsilon=1e-5, name="norm2")(src + src2)
+        lin1 = nn.Dense(self.dim_ff, dtype=self.dtype, name="linear1")
+        lin2 = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")
+        norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
+        b, l, d = src.shape
+        if (self.flash and (b * l) % 512 == 0
+                and jnp.dtype(self.dtype) != jnp.float64):
+            # VMEM-resident FFN + residual + LayerNorm
+            # (ops/pallas/ffn.py).  Bind the flax modules on slivers so
+            # the param tree/converter contract is unchanged; the sliver
+            # results are unused and DCE'd.
+            from ..ops.pallas.ffn import fused_ffn_ln
+            _ = lin1(src[:1, :1])
+            _ = lin2(jnp.zeros((1, 1, self.dim_ff), self.dtype))
+            _ = norm2(src[:1, :1])
+            p1 = lin1.variables["params"]
+            p2 = lin2.variables["params"]
+            pn = norm2.variables["params"]
+            out = fused_ffn_ln(
+                src.reshape(b * l, d), p1["kernel"], p1["bias"],
+                p2["kernel"], p2["bias"], pn["scale"], pn["bias"],
+                compute_dtype=self.dtype)
+            return out.reshape(b, l, d)
+        src2 = lin2(nn.relu(lin1(src)))
+        return norm2(src + src2)
 
 
 class DecoderLayer(nn.Module):

@@ -20,7 +20,9 @@ TPU.  It compares, on the actual device:
   4. the fused encoder attention (ops/pallas/attention.fused_attention)
      vs the naive MHA math at the production encoder shape
      (12x8x1024x32, key-masked), f32 AND bf16, both referenced against
-     the 'highest'-precision naive truth.
+     the 'highest'-precision naive truth;
+  5. the fused FFN+LayerNorm (ops/pallas/ffn.fused_ffn_ln) vs the flax
+     encoder-FFN chain at 12288 tokens x 256 -> 2048 -> 256, f32 + bf16.
 
 Writes PARITY_TPU.json and exits non-zero on any tolerance breach.  Run it
 before recording any bench: these kernels replace the compute the reference
@@ -31,6 +33,7 @@ Usage:  python tools/verify_fused.py [--out PARITY_TPU.json]
 """
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -265,6 +268,52 @@ def check_attention(results):
             "shape": list(np.shape(got))}
 
 
+def check_ffn(results):
+    """On-chip fused FFN+LayerNorm (ops/pallas/ffn.py) vs the flax chain
+    at the production encoder shape (12*1024 tokens, 256 -> 2048 -> 256),
+    bf16 compute + f32 residual/LN (the post-norm promotion), plus an
+    all-f32 leg.  Truth: the same chain at matmul precision 'highest'."""
+    from scene_graph_commonsense_tpu.ops.pallas.ffn import fused_ffn_ln
+
+    n, d, f = 12 * 1024, 256, 2048
+    ks = jax.random.split(jax.random.PRNGKey(17), 7)
+    x = jax.random.normal(ks[0], (n, d), jnp.float32)
+    w1 = jax.random.normal(ks[1], (d, f), jnp.float32) / np.sqrt(d)
+    b1 = jax.random.normal(ks[2], (f,), jnp.float32)
+    w2 = jax.random.normal(ks[3], (f, d), jnp.float32) / np.sqrt(f)
+    b2 = jax.random.normal(ks[4], (d,), jnp.float32)
+    g = 1.0 + 0.1 * jax.random.normal(ks[5], (d,), jnp.float32)
+    bt = 0.1 * jax.random.normal(ks[6], (d,), jnp.float32)
+
+    def naive(x, w1, b1, w2, b2, g, bt, cd):
+        h = jnp.maximum(x.astype(cd) @ w1.astype(cd) + b1.astype(cd), 0)
+        y = h.astype(cd) @ w2.astype(cd) + b2.astype(cd)
+        y = x.astype(jnp.float32) + y.astype(jnp.float32)
+        mu = y.mean(-1, keepdims=True)
+        var = ((y - mu) ** 2).mean(-1, keepdims=True)
+        return (y - mu) * jax.lax.rsqrt(var + 1e-5) * g + bt
+
+    def jrel(got, ref):
+        return (jnp.max(jnp.abs(got - ref))
+                / jnp.maximum(jnp.max(jnp.abs(ref)), 1e-30))
+
+    with jax.default_matmul_precision("highest"):
+        truth = jax.jit(functools.partial(naive, cd=jnp.float32))(
+            x, w1, b1, w2, b2, g, bt)
+    cmp = jax.jit(jrel)
+    for cd, floor in ((jnp.float32, 1e-5), (jnp.bfloat16, 0.05)):
+        got = jax.jit(functools.partial(
+            fused_ffn_ln, compute_dtype=cd, interpret=False))(
+            x, w1, b1, w2, b2, g, bt)
+        ref = jax.jit(functools.partial(naive, cd=cd))(
+            x, w1, b1, w2, b2, g, bt)
+        e_fused = float(cmp(got, truth))
+        e_xla = float(cmp(ref, truth))
+        results[f"ffn_{jnp.dtype(cd).name}_vs_f32_truth"] = {
+            "rel": e_fused, "xla_default_rel": e_xla,
+            "tol": max(3.0 * e_xla, floor), "shape": [n, d]}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(ROOT, "PARITY_TPU.json"))
@@ -275,7 +324,8 @@ def main():
     results = {}
     import time
     for name, fn in (("stem", check_stem), ("pair_pool", check_pair_pool),
-                     ("attention", check_attention), ("trunk", check_trunk)):
+                     ("attention", check_attention), ("ffn", check_ffn),
+                     ("trunk", check_trunk)):
         t0 = time.perf_counter()
         fn(results)
         print(f"[{name}] done in {time.perf_counter() - t0:.1f}s",
