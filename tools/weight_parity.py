@@ -55,11 +55,39 @@ LR, WD = 1e-3, 1e-4      # lr amplified (ref config 1e-5) so any gradient
 NG, NP, NS = 15, 11, 24
 
 
-def make_batches(steps: int):
+class _HashMembership:
+    """Deterministic synthetic commonsense membership over (sub, rel, obj)
+    triplets — the SAME predicate backs the reference side's `tuple in
+    <set>` probes (any __contains__ works there, train_utils.py:55-56) and
+    our dense bool tables, so both frameworks see one commonsense world
+    without materializing 1.1M-tuple Python sets."""
+
+    def __init__(self, kind: str):
+        self.kind = kind
+
+    @staticmethod
+    def _bucket(s, r, o):
+        return (int(s) * 1009 + int(r) * 2003 + int(o) * 3001) % 10
+
+    def __contains__(self, t):
+        s, r, o = t
+        h = self._bucket(s, r, o)
+        return h < 7 if self.kind == "aligned" else h == 9
+
+    def dense_tables(self, num_classes=150, num_relations=50):
+        tid = np.arange(num_classes * num_relations * num_classes)
+        o = tid % num_classes
+        r = (tid // num_classes) % num_relations
+        s = tid // (num_classes * num_relations)
+        h = (s * 1009 + r * 2003 + o * 3001) % 10
+        return (h < 7) if self.kind == "aligned" else (h == 9)
+
+
+def make_batches(steps: int, seed: int = 42):
     """Fabricated training batches: per-step feature grids + scenes.
     Object counts vary per step so lr_scale = sqrt(#images at max count/B)
     changes between steps (train_test.py:192)."""
-    rng = np.random.default_rng(42)
+    rng = np.random.default_rng(seed)
     n_pers = [[5, 3, 4], [4, 5, 2], [3, 5, 5], [5, 5, 3]]
     batches = []
     for s in range(steps):
@@ -96,10 +124,15 @@ def make_batches(steps: int):
 # Reference side
 # ---------------------------------------------------------------------------
 
-def run_reference(batches):
+def run_reference(batches, decay_at: int = 0, train_cs: bool = False):
     """The living loop: train_test.py:165-280 with fabricated features in
     place of process_image_features (the frozen-DETR encode is not under
-    test here; its f64 parity is proven in tests/test_detr_torch_parity)."""
+    test here; its f64 parity is proven in tests/test_detr_torch_parity).
+
+    decay_at > 0 treats each batch as one reference epoch and crosses the
+    LR-step boundary before batch index `decay_at` (lr_decay *= 0.1,
+    train_test.py:138-139).  train_cs runs the living commonsense penalty
+    (train_utils.py:36-60) against the _HashMembership world."""
     import torch
     from reference_shim import import_reference, reference_args
     ref_model, _ = import_reference()
@@ -135,6 +168,10 @@ def run_reference(batches):
             lr=LR, momentum=0.9, weight_decay=WD)
         original_lr = optimizer.param_groups[0]["lr"]
         lr_decay = 1                                 # train_test.py:135
+        if train_cs:
+            args["training"]["run_mode"] = "train_cs"
+        cs_a = _HashMembership("aligned")
+        cs_v = _HashMembership("violated")
 
         relation_count = ref_utils.get_num_each_class_reordered(args)
         cw = (1 - relation_count / torch.sum(relation_count)).double()
@@ -146,7 +183,9 @@ def run_reference(batches):
         crit_contrast = SupConLossHierar()
 
         post_step_states = []
-        for bdata in batches:
+        for si, bdata in enumerate(batches):
+            if decay_at and si == decay_at:
+                lr_decay *= 0.1                      # train_test.py:138-139
             n_per = bdata["n_per"]
             feats = torch.from_numpy(bdata["feats"])
             feats_aug = torch.from_numpy(bdata["feats_aug"])
@@ -268,7 +307,7 @@ def run_reference(batches):
                                 relations_target, direction_target, 1,
                                 hidden_cat_accumulated,
                                 hidden_cat_labels_accumulated,
-                                None, None, 10 ** 9,
+                                cs_a, cs_v, 10 ** 9,
                                 first_direction=first)
                         loss_relationship += curr_loss_relationship
                         loss_connectivity += curr_loss_connectivity
@@ -306,7 +345,8 @@ def run_reference(batches):
 # Our side
 # ---------------------------------------------------------------------------
 
-def run_ours(init_state, batches):
+def run_ours(init_state, batches, decay_at: int = 0,
+             train_cs: bool = False):
     import jax
     import jax.numpy as jnp
     jax.config.update("jax_platforms", "cpu")
@@ -340,15 +380,33 @@ def run_ours(init_state, batches):
         params = convert_relation_state_dict(
             {k: np.asarray(v, np.float64) for k, v in init_state.items()},
             hierarchical=True, hidden_dim=128, feature_size=FS)
+        cs_tables = None
+        if train_cs:
+            cs_tables = (_HashMembership("aligned").dense_tables(),
+                         _HashMembership("violated").dense_tables())
         opt = engine.make_optimizer(LR, momentum=0.9, weight_decay=WD,
                                     momentum_dtype="float64")
         state = engine.TrainState(params, opt.init(params), jnp.int32(0))
         step = engine.make_train_step(
             model, cfg, opt, class_weights("vg", faithful=True),
-            donate=False, use_pallas_pool=False)
+            cs_tables=cs_tables, donate=False, use_pallas_pool=False)
+        step_decayed = None
+        if decay_at:
+            # the SGD momentum trace is lr-independent on both sides
+            # (torch applies lr at the update, our chain scales after
+            # trace), so the post-boundary step can reuse the optimizer
+            # state under a 0.1x optimizer
+            opt_d = engine.make_optimizer(LR * 0.1, momentum=0.9,
+                                          weight_decay=WD,
+                                          momentum_dtype="float64")
+            step_decayed = engine.make_train_step(
+                model, cfg, opt_d, class_weights("vg", faithful=True),
+                cs_tables=cs_tables, donate=False, use_pallas_pool=False)
 
         post = []
-        for bdata in batches:
+        for si, bdata in enumerate(batches):
+            run_step = step_decayed if (decay_at and si >= decay_at) \
+                else step
             valid = np.arange(N)[None] < bdata["n_per"][:, None]
             sup_mh = np.stack([
                 super_multi_hot(bdata["sup"][i], num_super=17)
@@ -365,7 +423,7 @@ def run_ours(init_state, batches):
                 "rel": jnp.asarray(bdata["rel_t"].astype(np.int32)),
                 "valid": jnp.asarray(valid),
             }
-            state, metrics = step(state, batch, jax.random.PRNGKey(0))
+            state, metrics = run_step(state, batch, jax.random.PRNGKey(0))
             post.append(jax.tree.map(np.asarray, state.params))
         return post
 
@@ -402,36 +460,76 @@ def compare(init_state, ref_states, our_states):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=2)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--decay-at", type=int, default=0,
+                    help="treat batches as epochs and cross the 0.1x LR "
+                         "boundary before this batch index "
+                         "(train_test.py:138-139); 0 = no decay")
+    ap.add_argument("--train-cs", action="store_true",
+                    help="run_mode train_cs: the commonsense penalty "
+                         "(train_utils.py:36-60) live in both backwards")
+    ap.add_argument("--name", default=None,
+                    help="config key in the merged record (derived from "
+                         "the knobs when omitted)")
     ap.add_argument("--atol", type=float, default=1e-8)
     ap.add_argument("--out", default=os.path.join(ROOT,
                                                   "WEIGHT_PARITY.json"))
     args = ap.parse_args(argv)
+    name = args.name or "steps{}_seed{}{}{}".format(
+        args.steps, args.seed,
+        f"_decay@{args.decay_at}" if args.decay_at else "",
+        "_train_cs" if args.train_cs else "")
 
     t0 = time.time()
-    batches = make_batches(args.steps)
-    init_state, ref_states = run_reference(batches)
-    our_states = run_ours(init_state, batches)
+    batches = make_batches(args.steps, seed=args.seed)
+    init_state, ref_states = run_reference(batches, decay_at=args.decay_at,
+                                           train_cs=args.train_cs)
+    our_states = run_ours(init_state, batches, decay_at=args.decay_at,
+                          train_cs=args.train_cs)
     results = compare(init_state, ref_states, our_states)
     ok = all(r["max_abs_delta"] <= args.atol for r in results)
     record = {
         "verdict": "equal" if ok else "DIVERGED",
         "atol": args.atol, "steps": results,
+        "config": {"steps": args.steps, "seed": args.seed,
+                   "lr_decay_boundary_before_step": args.decay_at,
+                   "train_cs": args.train_cs},
         "geometry": {"batch": B, "max_objects": N, "feature_size": FS,
                      "hidden_dim": 128, "num_img_feature": C,
                      "lr": LR, "weight_decay": WD, "momentum": 0.9},
+        "wall_seconds": round(time.time() - t0, 1),
+    }
+    # merge into the multi-config record (one file, keyed by config)
+    merged = {}
+    if os.path.exists(args.out):
+        with open(args.out) as f:
+            old = json.load(f)
+        if "configs" in old:
+            merged = old["configs"]
+        elif "steps" in old:
+            old.pop("notes", None)
+            merged["r4_steps2_seed42"] = old
+    merged[name] = record
+    out_doc = {
+        "what": "post-step WEIGHT parity vs the LIVING reference "
+                "training loop (tools/weight_parity.py), one entry per "
+                "config",
         "notes": "reference model .eval() / our dropout_rate=0 "
                  "(incomparable dropout RNGs); every other training "
                  "surface live — forward, triangular re-accumulation, "
-                 "SupCon with double-lambda fold, dynamic LR, "
+                 "SupCon with double-lambda fold, dynamic LR, LR-step "
+                 "decay, the train_cs commonsense penalty, "
                  "SGD momentum+coupled weight decay",
-        "wall_seconds": round(time.time() - t0, 1),
+        "all_equal": all(c.get("verdict") == "equal"
+                         for c in merged.values()),
+        "configs": merged,
     }
     with open(args.out, "w") as f:
-        json.dump(record, f, indent=1)
+        json.dump(out_doc, f, indent=1)
     for r in results:
         print(f"step {r['step']}: max|delta|={r['max_abs_delta']:.3e} "
               f"(weights moved {r['weights_moved_by']:.3e})")
-    print(f"verdict: {record['verdict']} -> {args.out}")
+    print(f"[{name}] verdict: {record['verdict']} -> {args.out}")
     return 0 if ok else 1
 
 
