@@ -39,6 +39,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _chunk_rows(r: int) -> int:
+    """Row-chunk for the conv2->conv3->residual epilogue: the f32
+    accumulators live only for one chunk, so the row-block r (which sets
+    DMA size and the 2/R halo overhead) can grow past what full-block
+    f32 intermediates would allow."""
+    return min(r, 4)
+
+
 def _pick_rows(h: int, w: int, cin: int, cmid: int, co: int,
                wbytes: int) -> int:
     """Row-block size: bound VMEM (weights + x/edges/out blocks + a_h
@@ -51,10 +59,14 @@ def _pick_rows(h: int, w: int, cin: int, cmid: int, co: int,
         a_h = (r + 2) * (w + 2) * cmid * 2
         out_blk = r * w * co * 2
         edges = 2 * w * cin * 2
-        # live kernel values: f32 acc, f32 conv3 result + residual,
-        # the x2d/a bf16 copies (measured against Mosaic's scoped-vmem
-        # accounting, which OOMed at 24M for r*w*co f32 intermediates)
-        vals = r * w * (4 * cmid + 8 * co + 2 * co + 2 * cin + 2 * cmid)
+        # live kernel values (measured against Mosaic's scoped-vmem
+        # accounting, which OOMed at 24M for r*w*co f32 intermediates):
+        # full-block terms are the bf16 conv1 output; the f32 conv2
+        # accumulator and conv3 result + residual are chunk-local
+        # (the epilogue runs in _chunk_rows-row chunks)
+        ch = _chunk_rows(r)
+        vals = r * w * 2 * cmid \
+            + ch * w * (4 * cmid + 8 * co + 2 * co + 2 * cin + 2 * cmid)
         # x/edges/out are double-buffered by the pipeline; a_h, weights
         # and live values are resident for the whole grid
         if 2 * (x_blk + out_blk + edges) + a_h + wbytes + vals \
@@ -94,32 +106,40 @@ def _kernel(x_ref, xp_ref, xn_ref, w1_ref, w2_ref, w3_ref, s1_ref, s2_ref,
     def _():                                         # bottom image border
         a_h[r + 1] = jnp.zeros((w + 2, m), cd)
 
-    slices = [jax.lax.slice_in_dim(a_h[dy:dy + r], dx, dx + w, axis=1)
-              .reshape(r * w, m)
-              for dy in range(3) for dx in range(3)]
-    if m < 128:
-        # small stage-1 channels: one K=9M dot keeps the MXU contraction
-        # lanes full instead of nine K=M (quarter-utilized) passes;
-        # w2_ref arrives pre-flattened as (9M, M)
-        acc = jnp.dot(jnp.concatenate(slices, axis=-1),
-                      w2_ref[:].reshape(9 * m, m),
-                      preferred_element_type=jnp.float32)
-    else:
-        acc = jnp.zeros((r * w, m), jnp.float32)
-        for k, av in enumerate(slices):
-            acc = acc + jnp.dot(av, w2_ref[k // 3, k % 3],
-                                preferred_element_type=jnp.float32)
-    b = jnp.maximum(acc * s2_ref[0] + s2_ref[1], 0.0).astype(cd)
+    # conv2 -> conv3 -> residual epilogue in row chunks: the f32
+    # accumulators (acc, c, idn) live only chunk-long, which is what lets
+    # _pick_rows choose r=8-16 instead of 4 (halving the 2/R halo
+    # recompute and doubling DMA block sizes)
+    ch = min(r, 4)
+    for c0 in range(0, r, ch):
+        slices = [jax.lax.slice_in_dim(a_h[c0 + dy:c0 + dy + ch], dx,
+                                       dx + w, axis=1).reshape(ch * w, m)
+                  for dy in range(3) for dx in range(3)]
+        if m < 128:
+            # small stage-1 channels: one K=9M dot keeps the MXU
+            # contraction lanes full instead of nine K=M
+            # (quarter-utilized) passes; w2_ref arrives pre-flattened
+            acc = jnp.dot(jnp.concatenate(slices, axis=-1),
+                          w2_ref[:].reshape(9 * m, m),
+                          preferred_element_type=jnp.float32)
+        else:
+            acc = jnp.zeros((ch * w, m), jnp.float32)
+            for k, av in enumerate(slices):
+                acc = acc + jnp.dot(av, w2_ref[k // 3, k % 3],
+                                    preferred_element_type=jnp.float32)
+        b = jnp.maximum(acc * s2_ref[0] + s2_ref[1], 0.0).astype(cd)
 
-    c = jnp.dot(b, w3_ref[:], preferred_element_type=jnp.float32)
-    c = c * s3_ref[0] + s3_ref[1]
-    if wd_ref is not None:
-        idn = jnp.dot(x2d, wd_ref[:], preferred_element_type=jnp.float32)
-        idn = idn * sd_ref[0] + sd_ref[1]
-    else:
-        idn = x2d.astype(jnp.float32)
-    y = jnp.maximum(c + idn, 0.0).astype(cd)
-    o_ref[0] = y.reshape(r, w, y.shape[-1])
+        c = jnp.dot(b, w3_ref[:], preferred_element_type=jnp.float32)
+        c = c * s3_ref[0] + s3_ref[1]
+        xc = jax.lax.slice_in_dim(x, c0, c0 + ch, axis=0) \
+            .reshape(ch * w, cin)
+        if wd_ref is not None:
+            idn = jnp.dot(xc, wd_ref[:], preferred_element_type=jnp.float32)
+            idn = idn * sd_ref[0] + sd_ref[1]
+        else:
+            idn = xc.astype(jnp.float32)
+        y = jnp.maximum(c + idn, 0.0).astype(cd)
+        o_ref[0, c0:c0 + ch] = y.reshape(ch, w, y.shape[-1])
 
 
 def _kernel_s2(x_ref, xt_ref, w1_ref, w2_ref, w3_ref, wd_ref, s1_ref,
@@ -302,7 +322,7 @@ def fused_bottleneck(x: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((b, h, w, co), x.dtype),
         scratch_shapes=[pltpu.VMEM((r + 2, w + 2, m), x.dtype)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(
             flops=b * nh * flops_blk,
             bytes_accessed=x.size * 2 * 2 + b * h * w * co * 2,
