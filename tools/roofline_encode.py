@@ -134,14 +134,48 @@ def _stage_costs(B, H, W, e=2):
     per_layer_fl = (2.0 * B * L * d * d * 4          # q/k/v/out proj
                     + 2.0 * B * L * L * d * 2        # scores + attn@v
                     + 2.0 * B * L * d * dff * 2)     # FFN
-    # Execution-model byte estimate per layer: qkv (read A, write 3A),
-    # fused attention kernel (read 3A, write A), out_proj+residual+LN
-    # (read 3A, write A), ffn1 (read A, write F), ffn2+residual+LN
-    # (read F + 2A, write A) -> 15A + 2F, plus weights.
-    per_layer_by = 15 * A + 2 * F + (4 * d * d + 2 * d * dff) * e
+    # Execution-model byte estimate per layer: qkv (read src+pos 2A,
+    # write 3A), fused attention kernel (read 3A, write A),
+    # out_proj+residual+LN (read 2A, write A), fused FFN+residual+LN
+    # kernel (read A, write A; the dff intermediate never leaves VMEM,
+    # ops/pallas/ffn.py) -> 14A, plus weights.
+    del F  # pre-FFN-fusion execution model round-tripped 2F of this
+    per_layer_by = 14 * A + (4 * d * d + 2 * d * dff) * e
     stages["encoder"] = (fl + nlayers * per_layer_fl,
                          by + nlayers * per_layer_by)
     return stages
+
+
+def _effective_bounds(costs, B, L=1024, d=256, dff=2048, nlayers=6):
+    """Analytic MXU-utilization ceilings for the stages whose tensor
+    shapes cannot fill the 128x128 systolic array — the 'stem-style
+    unattainability' accounting: the plain max(compute, memory) roofline
+    assumes every dot runs at peak, which narrow channel/head dims make
+    impossible regardless of kernel quality.
+
+    Returns {stage: (util_or_floor_seconds_fn, note)} resolved to
+    (effective_min_seconds, note) by the caller with peak numbers."""
+    out = {}
+    # layer1: every dot has a 64-sized contraction or output dim on a
+    # 128-lane/128-deep MXU: conv1 (N=64 lanes), conv2 as one K=9*64 dot
+    # (N=64 lanes), conv3 + downsample (K=64 depth) -> <= 0.5 util.
+    out["layer1"] = (
+        ("util", 0.5),
+        "layer1 64-wide stage: conv1/conv2 emit 64-lane outputs and "
+        "conv3/downsample contract K=64 on the 128x128 MXU -> compute "
+        "ceiling ~0.5 of peak; the memory roofline is not the binding "
+        "constraint once traffic is fused")
+    # encoder: d_head=32 attention — the score dot contracts K=32 and
+    # the value dot emits N=32 lanes -> ~0.25 util on the attention
+    # slice; projections + FFN run full-width.
+    attn_fl = 2.0 * B * L * L * d * 2 * nlayers
+    rest_fl = (2.0 * B * L * d * d * 4 + 2.0 * B * L * d * dff * 2) \
+        * nlayers
+    out["encoder"] = (
+        ("split", attn_fl, 0.25, rest_fl, 1.0),
+        "encoder d_head=32: score dot K=32 / value dot N=32 -> ~0.25 "
+        "MXU util on the attention GFLOPs; FFN + projections full-width")
+    return out
 
 
 def main():
@@ -221,6 +255,7 @@ def main():
     dev = jax.devices()[0]
     peak_fl, peak_bw = _peak_flops(dev), _peak_bw(dev)
     costs = _stage_costs(BATCH, size, size)
+    eff_bounds = _effective_bounds(costs, BATCH)
     table = {}
     for name, ms in stage_ms.items():
         fl, by = costs[name]
@@ -236,6 +271,18 @@ def main():
             "bound": "compute" if t_comp >= t_mem else "memory",
             "frac_of_roofline": round(bound_ms / ms, 3) if ms > 0 else None,
         }
+        if name in eff_bounds:
+            spec, note = eff_bounds[name]
+            if spec[0] == "util":
+                t_eff = fl / (peak_fl * spec[1])
+            else:
+                _, a_fl, a_u, r_fl, r_u = spec
+                t_eff = a_fl / (peak_fl * a_u) + r_fl / (peak_fl * r_u)
+            eff_ms = 1e3 * max(t_eff, t_mem)
+            table[name]["attainable_ms_effective"] = round(eff_ms, 2)
+            table[name]["frac_of_effective"] = \
+                round(eff_ms / ms, 3) if ms > 0 else None
+            table[name]["unattainability_note"] = note
         print(json.dumps({"stage": name, **table[name]}))
 
     total_fl = sum(c[0] for c in costs.values())
