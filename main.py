@@ -276,7 +276,17 @@ def main():
     if len(jax.devices()) > 1:
         data_axis = (args.mesh_data if args.mesh_data != -1
                      else cfg.parallel.data_axis)
-        mesh = make_mesh(data=data_axis, model=cfg.parallel.model_axis)
+        if data_axis <= 0:
+            # auto mesh: the data axis must divide the global batch
+            # (shard_map/GSPMD sharding constraint), so pick the largest
+            # divisor that fits — an 8-device harness driving batch 2
+            # must run 2-way, not fail the device_put (batch % 8 != 0)
+            avail = len(jax.devices()) // cfg.parallel.model_axis
+            b = cfg.training.batch_size
+            data_axis = max(d for d in range(1, avail + 1) if b % d == 0)
+        if data_axis > 1 or cfg.parallel.model_axis > 1:
+            mesh = make_mesh(data=data_axis,
+                             model=cfg.parallel.model_axis)
 
     featurize = None
     if args.synthetic:
