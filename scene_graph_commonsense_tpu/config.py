@@ -56,6 +56,18 @@ class DataConfig:
     # dropped (reference dataloader.py:119); everything else is padded to
     # max_objects and expressed with validity masks.
     max_objects: int = 20
+    # Detection view (SGCLS/SGDET): min-side-`nonsq_min_side` resize onto a
+    # fixed `nonsq_canvas` square canvas + pixel mask — the static-shape
+    # analogue of the reference's per-batch NestedTensor padding
+    # (dataloader.py:40-41 Resize(600, max_size=1000) + utils.py:185-204).
+    # The fixed canvas is a DOCUMENTED deviation: a padded-and-masked
+    # 1000x1000 run is not bit-identical to an unpadded variable-size one
+    # (different conv grid phase + masked-attention geometry).  Parity
+    # harnesses on uniform-size fixtures set nonsq_canvas to the exact
+    # resize output so the canvas carries no padding and the two
+    # frameworks see identical tensors (tools/detection_parity.py).
+    nonsq_min_side: int = 600
+    nonsq_canvas: int = 1000
 
 
 @dataclass(frozen=True)

@@ -353,7 +353,9 @@ class VGDataset:
                     color_jitter(self.rng, raw.astype(np.float32)),
                     cfg.model.image_size)
             elif need_nonsq:
-                canvas, mask = nonsquare_canvas(raw)
+                canvas, mask = nonsquare_canvas(
+                    raw, min_side=cfg.data.nonsq_min_side,
+                    max_side=cfg.data.nonsq_canvas)
                 ex["image_nonsq"] = canvas
                 ex["pixel_mask"] = mask
         return ex

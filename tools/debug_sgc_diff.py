@@ -1,15 +1,12 @@
 """Bisect the trained-checkpoint SGCLS recall gap (ours 0.340 vs
 reference 0.245 at R@20 on the det-anchored fixture, same 94 targets).
 
-Stage A: raw DETR outputs — torch hub replica vs our flax conversion on
-the same test images (f64 CPU).
-Stage B: the reference eval_sgc detection prep (topk expansion,
-alp2fre remap, per-class NMS, evaluate.py:543-592) transcribed to numpy
-over the REFERENCE raw outputs, vs our postprocess_detections output.
-Stage C: label matching (match_object_categories vs
-match_predicted_labels_top2) on whichever detections agree.
+Three invocations (separate processes — a heavy flax forward and a heavy
+torch forward in one process deadlock on OpenMP futexes):
 
-Usage: python tools/debug_sgc_diff.py [--dir /tmp/det_parity]
+  python tools/debug_sgc_diff.py ours      # raw DETR outputs -> npz
+  python tools/debug_sgc_diff.py ref       # torch hub replica -> npz
+  python tools/debug_sgc_diff.py compare   # stage A/B verdicts
 """
 
 import argparse
@@ -26,24 +23,15 @@ for p in (ROOT, os.path.join(ROOT, "tools"), os.path.join(ROOT, "tests")):
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--dir", default="/tmp/det_parity")
-    args = ap.parse_args()
-    d = args.dir
-
+def run_ours(d):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(ROOT, ".jax_test_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from detection_parity import _load_test_batch, _our_cfg
 
-    from detection_parity import (_load_test_batch, _our_cfg,
-                                  craft_replica, _hub_replica)
-    from checkpoint_parity import _setup_reference_env
-
-    # ---- ours: raw DETR forward ----
     with jax.enable_x64(True):
         cfg = _our_cfg(d, "sgc")
         from scene_graph_commonsense_tpu.train.loop import (
@@ -54,38 +42,70 @@ def main():
         out = detr.apply(detr_params,
                          jnp.asarray(batch["image_nonsq"]),
                          jnp.asarray(batch["pixel_mask"]))
-        ours_logits = np.asarray(out["pred_logits"])
-        ours_boxes = np.asarray(out["pred_boxes"])
+        np.savez(os.path.join(d, "dbg_ours_raw.npz"),
+                 logits=np.asarray(out["pred_logits"]),
+                 boxes=np.asarray(out["pred_boxes"]),
+                 images=np.asarray(batch["image_nonsq"]),
+                 pixel_mask=np.asarray(batch["pixel_mask"]))
+    print("wrote dbg_ours_raw.npz")
 
-    # ---- reference: torch hub replica forward on the same tensors ----
+
+def run_ref(d):
+    from detection_parity import craft_replica, _hub_replica
+    from checkpoint_parity import _setup_reference_env
+
     torch = _setup_reference_env()
     prev = torch.get_default_dtype()
     torch.set_default_dtype(torch.float64)
     try:
         import utils as ref_utils
+        with np.load(os.path.join(d, "dbg_ours_raw.npz")) as z:
+            images = z["images"]
+            pixel_mask = z["pixel_mask"]
         inner = craft_replica(torch, d)
         hub = _hub_replica(torch, inner.double())
         hub.eval()
-        imgs = torch.from_numpy(
-            np.asarray(batch["image_nonsq"]).transpose(0, 3, 1, 2)).double()
+        imgs = torch.from_numpy(images.transpose(0, 3, 1, 2)).double()
+        # share OUR pixel mask (True = valid): NestedTensor's mask is
+        # True = padded.  nested_tensor_from_tensor_list would rebuild an
+        # all-valid mask from the already-padded square tensors and the
+        # two sides would attend differently for reasons that are an
+        # artifact of this probe, not of either framework.
+        ntensor = ref_utils.NestedTensor(
+            imgs, ~torch.from_numpy(pixel_mask))
         with torch.no_grad():
-            ref_out = hub(
-                ref_utils.nested_tensor_from_tensor_list(list(imgs)))
-        ref_logits = ref_out["pred_logits"].numpy()
-        ref_boxes = ref_out["pred_boxes"].numpy()
+            ref_out = hub(ntensor)
+        np.savez(os.path.join(d, "dbg_ref_raw.npz"),
+                 logits=ref_out["pred_logits"].numpy(),
+                 boxes=ref_out["pred_boxes"].numpy())
     finally:
         torch.set_default_dtype(prev)
+    print("wrote dbg_ref_raw.npz")
 
-    print("stage A: raw DETR outputs")
-    print("  logits shapes", ours_logits.shape, ref_logits.shape)
-    dl = np.max(np.abs(ours_logits - ref_logits))
-    db = np.max(np.abs(ours_boxes - ref_boxes))
-    print(f"  max|dlogits| = {dl:.3e}   max|dboxes| = {db:.3e}")
-    # argmax agreement (class decisions)
-    am_o = ours_logits.argmax(-1)
-    am_r = ref_logits.argmax(-1)
-    print(f"  argmax disagreements: {(am_o != am_r).sum()} "
-          f"of {am_o.size}")
+
+def compare(d):
+    with np.load(os.path.join(d, "dbg_ours_raw.npz")) as z:
+        ol, ob = z["logits"], z["boxes"]
+    with np.load(os.path.join(d, "dbg_ref_raw.npz")) as z:
+        rl, rb = z["logits"], z["boxes"]
+    print("stage A: raw DETR outputs", ol.shape, rl.shape)
+    print(f"  max|dlogits| = {np.max(np.abs(ol - rl)):.3e}   "
+          f"max|dboxes| = {np.max(np.abs(ob - rb)):.3e}")
+    am_o, am_r = ol.argmax(-1), rl.argmax(-1)
+    print(f"  argmax disagreements: {(am_o != am_r).sum()} of {am_o.size}")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("stage", choices=["ours", "ref", "compare", "all"])
+    ap.add_argument("--dir", default="/tmp/det_parity")
+    args = ap.parse_args()
+    if args.stage in ("all", "ours"):
+        run_ours(args.dir)
+    if args.stage in ("all", "ref"):
+        run_ref(args.dir)
+    if args.stage in ("all", "compare"):
+        compare(args.dir)
 
 
 if __name__ == "__main__":

@@ -160,7 +160,12 @@ def _our_cfg(d: str, eval_mode: str):
                   d, "data/instances_vg_train.json"),
               "annotation_test": os.path.join(
                   d, "data/instances_vg_test.json"),
-              "artifacts_dir": os.path.join(ROOT, "datasets/artifacts")},
+              "artifacts_dir": os.path.join(ROOT, "datasets/artifacts"),
+              # fixture images are uniform squares: a canvas equal to the
+              # resize output carries NO padding, so our detection view is
+              # the exact tensor the reference's NestedTensor builds
+              # (bit-parity prerequisite; see config.DataConfig)
+              "nonsq_min_side": 600, "nonsq_canvas": 600},
         training={"batch_size": _n_test(d), "faithful_sgd_targets": True,
                   "sgcls_top2_duplicates": True})
 
@@ -606,6 +611,8 @@ data:
   annotation_test: {d}/data/instances_vg_test.json
   artifacts_dir: {art}
   max_objects: {MAX_OBJ}
+  nonsq_min_side: 600
+  nonsq_canvas: 600
 model:
   image_size: {IMG}
   feature_size: {FS}
