@@ -336,3 +336,33 @@ def test_partial_feature_cache_rejected(tmp_path, capsys):
     assert "missing" in capsys.readouterr().out
     ex = ds.get_example(0)
     assert ex is not None and "features" not in ex
+
+
+def test_nonsquare_canvas_geometry_knobs():
+    """The detection-view canvas is configurable (DataConfig.nonsq_*):
+    default = reference Resize(600, max_size=1000) content on a padded
+    1000 static canvas; parity geometry (600/600) fills the canvas with
+    zero padding for uniform square inputs so the tensor matches the
+    reference's unpadded NestedTensor bit-for-bit."""
+    import numpy as np
+
+    from scene_graph_commonsense_tpu.data.dataset import nonsquare_canvas
+
+    raw = np.random.default_rng(0).integers(
+        0, 255, (256, 256, 3)).astype(np.uint8)
+    canvas, mask = nonsquare_canvas(raw)          # production default
+    assert canvas.shape == (1000, 1000, 3)
+    assert mask.shape == (1000, 1000)
+    assert mask[:600, :600].all() and not mask[600:, :].any() \
+        and not mask[:, 600:].any()
+
+    canvas6, mask6 = nonsquare_canvas(raw, min_side=600, max_side=600)
+    assert canvas6.shape == (600, 600, 3)
+    assert mask6.all()                            # no padding at all
+    np.testing.assert_array_equal(canvas6, canvas[:600, :600])
+
+    # non-square input: max_side clamps like torchvision Resize(max_size)
+    wide = np.zeros((200, 500, 3), np.uint8)
+    cw, mw = nonsquare_canvas(wide)
+    nh, nw = mw[:, 0].sum(), mw[0, :].sum()
+    assert nw == 1000 and nh == 400               # scale = 1000/500
